@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession bootstrap so Verify, Bench, and tests agree on the
+  * configs that affect correctness and scale behavior.
+  */
+object Sessions {
+
+  /** Configs applied to every session this library creates.
+    *
+    * Scale rationale:
+    *  - AQE on: runtime shuffle coalescing + skew-join splitting — the
+    *    100 TB insurance policy for skewed keys.
+    *  - shuffle.partitions matches local core count here; on a real cluster
+    *    AQE's coalesce makes the initial number mostly irrelevant.
+    *  - UTC + nanosAsLong: deterministic timestamp semantics (TESTDATA
+    *    events.ts is parquet TIMESTAMP(NANOS) — see [[Tables.events]]).
+    */
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

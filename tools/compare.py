@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Local pre-verification mirroring the driver's correctness gate.
+
+Runs each oracle SQL from <outdir>/oracle_sql.json in DuckDB over the
+parquet tables in <sfdir>, reads the Spark result parquet from
+<outdir>/<name>/, canonicalizes both (columns sorted by name, rows sorted,
+floats via repr), and diffs. Dev tool only — not part of the library.
+
+Usage: python3 tools/compare.py <sfdir> <outdir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon_value(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append("\x01".join(canon_value(r[i]) for i in order))
+    return [cols[i] for i in order], out
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    with open(f"{outdir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            res = con.execute(sql)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        try:
+            sres = con.execute(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+            scols = [d[0] for d in sres.description]
+            srows = sres.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            n_fail += 1
+            continue
+        oc, orws = canon(ocols, orows)
+        sc, srws = canon(scols, srows)
+        if oc != sc:
+            print(f"FAIL {name}: schema mismatch duckdb={oc} spark={sc}")
+            n_fail += 1
+            continue
+        ordered_match = orws == srws
+        sorted_match = sorted(orws) == sorted(srws)
+        if sorted_match:
+            flag = "" if ordered_match else " (order differs, sorted match)"
+            print(f"PASS {name}: {len(srws)} rows{flag}")
+            n_pass += 1
+        else:
+            n_fail += 1
+            oset, sset = set(orws), set(srws)
+            only_o = [r for r in orws if r not in sset][:3]
+            only_s = [r for r in srws if r not in oset][:3]
+            print(f"FAIL {name}: rows differ (duckdb={len(orws)} spark={len(srws)})")
+            for r in only_o:
+                print(f"  duckdb-only: {r[:200]}")
+            for r in only_s:
+                print(f"  spark-only:  {r[:200]}")
+            if not only_o and not only_s:
+                for i, (a, b) in enumerate(zip(orws, srws)):
+                    if a != b:
+                        print(f"  first order diff at row {i}:\n   duckdb={a[:200]}\n   spark ={b[:200]}")
+                        break
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
