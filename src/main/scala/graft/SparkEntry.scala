@@ -1,13 +1,16 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, ExtraQueries}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Every declared query (SURVEY.md §2.C + north-star operators). */
-  def defs: Seq[QueryDef] = CoreQueries.all
+  def defs: Seq[QueryDef] =
+    CoreQueries.all ++ Dedup.queries ++ Similarity.queries ++
+      TextAnalysis.queries ++ Multimodal.queries ++ ExtraQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q8 (TPC-H Q1 shape): scan→project→partial/final agg→sort end-to-end.

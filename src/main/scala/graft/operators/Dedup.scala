@@ -1,0 +1,239 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — the north-star
+  * LLM-pipeline ops (BASELINE.json). Four families:
+  *
+  *  - exact (hash groupBy)            → q17 / x01
+  *  - exact n-gram Jaccard pairs      → x02 (inverted shingle index join)
+  *  - MinHash + LSH banded candidates → x03 (verified → same output as x02)
+  *  - SimHash banded hamming pairs    → x04
+  *
+  * Scale design: everything is join/groupBy on content-derived keys —
+  * shuffles partition by shingle / band signature / simhash chunk, never by
+  * document, so 1000 executors each see a slice of the inverted index. The
+  * known 100 TB hazard is ultra-frequent shingles (boilerplate) exploding
+  * the shingle-join; the mitigation (drop shingles with document frequency
+  * above a cap — they carry no discriminative signal) is noted inline.
+  */
+object Dedup {
+
+  /** Exact-dedup survivor set: keep the smallest doc_id per normalized text.
+    * Pure hash aggregation — the canonical exact dedup at any scale.
+    */
+  def exactKeepFirst(docs: DataFrame): DataFrame =
+    docs.groupBy(lower(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
+  /** Exact all-pairs n-gram Jaccard via an inverted shingle index:
+    * shingle → docs, self-join on shingle, count common shingles per pair,
+    * J = common / (|A| + |B| - common).
+    *
+    * At 100 TB: the self-join shuffles by shingle (good: uniform-ish keys);
+    * add a document-frequency cap filter on `sh` (e.g. df < 10^4) before the
+    * join to neutralize boilerplate-shingle skew — exactness for pairs below
+    * the cap is unaffected when the threshold filter compensates.
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = TextOps.shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        round(col("c") / (col("sa.n") + col("sb.n") - col("c")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Oracle-side rendering of [[ngramJaccardPairs]]. */
+  def ngramJaccardPairsSql(threshold: Double): String =
+    s"""SELECT a, b, jaccard FROM (
+       |  SELECT x.doc_id AS a, y.doc_id AS b,
+       |         round(count(*) / (any_value(sa.n) + any_value(sb.n) - count(*)), 6) AS jaccard
+       |  FROM (${TextOps.shinglesSql}) x
+       |  JOIN (${TextOps.shinglesSql}) y
+       |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  JOIN (SELECT doc_id, count(*) AS n FROM (${TextOps.shinglesSql}) s GROUP BY 1) sa
+       |    ON x.doc_id = sa.doc_id
+       |  JOIN (SELECT doc_id, count(*) AS n FROM (${TextOps.shinglesSql}) s GROUP BY 1) sb
+       |    ON y.doc_id = sb.doc_id
+       |  GROUP BY 1, 2) p
+       |WHERE jaccard >= $threshold ORDER BY a, b""".stripMargin
+
+  /** MinHash signatures + banded LSH candidates + exact verification.
+    *
+    * numPerm minhashes from xxhash64(permIndex, shingle); bands of `rows`
+    * hashes each; docs sharing any band signature become candidate pairs;
+    * candidates are then verified with the exact Jaccard (computed only on
+    * candidate docs' shingles). With 16 bands × 2 rows, a pair at the 0.8
+    * threshold is missed with prob (1-0.8²)^16 ≈ 3e-7 — and the planted
+    * near-dups in this data sit at J≈0.98 (miss prob ~1e-26), so the output
+    * equals the exact x02 result and shares its oracle.
+    *
+    * At 100 TB this is THE scalable near-dup path: signature computation is
+    * a single groupBy(doc) pass; the candidate join shuffles on (band, sig)
+    * — tiny keys, uniformly distributed by construction.
+    */
+  def minhashLshPairs(docs: DataFrame, threshold: Double,
+      bands: Int = 16, rows: Int = 2): DataFrame = {
+    val numPerm = bands * rows
+    val sh = TextOps.shingles(docs)
+
+    // One minhash column per permutation, in a single aggregation pass.
+    val minhashes = sh.groupBy("doc_id").agg(
+      min(xxhash64(lit(0), col("shingle"))).as("h0"),
+      (1 until numPerm).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
+
+    // Band signatures: hash the band's row-hashes together, explode.
+    val bandCols = (0 until bands).map { b =>
+      val rowCols = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      struct(lit(b).as("band"), xxhash64(rowCols: _*).as("sig"))
+    }
+    val banded = minhashes
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+
+    // Exact verification restricted to candidate pairs: count common
+    // shingles by joining each side's shingle set.
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = candidates
+      .join(sh.as("sx"), col("a") === col("sx.doc_id"))
+      .join(sh.as("sy"),
+        col("b") === col("sy.doc_id") && col("sx.shingle") === col("sy.shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        round(col("c") / (col("sa.n") + col("sb.n") - col("c")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per doc + banded hamming-distance pairs.
+    *
+    * fingerprint bit i = sign of sum over tokens of (+1 if token-hash bit i
+    * set else -1). Banded search: split the fingerprint into `chunks` equal
+    * slices; by pigeonhole any pair with hamming <= chunks-1 shares at least
+    * one exact chunk, so joining on (chunkIdx, chunkVal) finds ALL pairs
+    * within the radius — no brute-force O(n²) scan. Scale: the join
+    * shuffles on 8-bit chunk values + index; for 100 TB corpora widen to
+    * 16-bit chunks to keep bucket sizes down.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, chunks: Int = 8): DataFrame = {
+    require(maxHamming < chunks, "banded search needs chunks > maxHamming")
+    val simhashUdf = udf { (hashes: Seq[Long]) =>
+      val acc = new Array[Int](64)
+      hashes.foreach { h =>
+        var i = 0
+        while (i < 64) { acc(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+      }
+      var fp = 0L
+      var i = 0
+      while (i < 64) { if (acc(i) > 0) fp |= (1L << i); i += 1 }
+      fp
+    }
+    val fps = TextOps.tokens(docs)
+      .groupBy("doc_id")
+      .agg(collect_list(xxhash64(col("w"))).as("hs"))
+      .select(col("doc_id"), simhashUdf(col("hs")).as("fp"))
+
+    val width = 64 / chunks
+    val chunkCols = (0 until chunks).map { i =>
+      struct(lit(i).as("ci"),
+        shiftrightunsigned(col("fp"), i * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("cv"))
+    }
+    val chunked = fps.select(col("doc_id"), col("fp"),
+      explode(array(chunkCols: _*)).as("ch"))
+      .select(col("doc_id"), col("fp"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+
+    chunked.as("x").join(chunked.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (brute-force block join).
+    *
+    * Exact at this scale; the 100 TB path replaces the self-join with the
+    * LSH bucketing from [[Similarity.annTopK]] (same hyperplane signatures)
+    * so only same/adjacent-bucket pairs are compared.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val withNorm = emb.select(col("vec_id"),
+      transform(col("embedding"), (x: Column) => x.cast("double")).as("e"))
+      .withColumn("norm", sqrt(aggregate(
+        zip_with(col("e"), col("e"), (x: Column, y: Column) => x * y),
+        lit(0.0), (acc: Column, v: Column) => acc + v)))
+    withNorm.as("x").join(withNorm.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(
+          aggregate(zip_with(col("x.e"), col("y.e"), (p: Column, q: Column) => p * q),
+            lit(0.0), (acc: Column, v: Column) => acc + v)
+            / (col("x.norm") * col("y.norm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  // ---- declared queries -------------------------------------------------
+
+  val queries: Seq[QueryDef] = Seq(
+    // Q17 of SURVEY §2.C: exact content-dedup cardinality.
+    QueryDef(
+      "q17_exact_dedup",
+      (s, dir) => Tables.documents(s, dir)
+        .agg(countDistinct(lower(col("text"))).as("cd")),
+      Some("SELECT count(DISTINCT lower(text)) AS cd FROM documents")),
+
+    QueryDef(
+      "x01_dedup_keep_first",
+      (s, dir) => exactKeepFirst(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id FROM documents
+             |GROUP BY lower(text) ORDER BY doc_id""".stripMargin)),
+
+    QueryDef(
+      "x02_ngram_jaccard",
+      (s, dir) => ngramJaccardPairs(Tables.documents(s, dir), 0.8).orderBy("a", "b"),
+      Some(ngramJaccardPairsSql(0.8))),
+
+    // Same exact output as x02 (LSH miss prob ~1e-26 at the planted J≈0.98)
+    // → shares the exact-Jaccard oracle, proving the LSH path end-to-end.
+    QueryDef(
+      "x03_minhash_lsh",
+      (s, dir) => minhashLshPairs(Tables.documents(s, dir), 0.8).orderBy("a", "b"),
+      Some(ngramJaccardPairsSql(0.8))),
+
+    // xxhash64-based SimHash has no DuckDB equivalent → rows-only check.
+    QueryDef(
+      "x04_simhash",
+      (s, dir) => simhashPairs(Tables.documents(s, dir)).orderBy("a", "b"),
+      None),
+
+    QueryDef(
+      "x05_embedding_neardup",
+      (s, dir) => embeddingNearDupPairs(Tables.embeddings(s, dir), 0.45).orderBy("a", "b"),
+      Some("""SELECT a, b, cos_sim FROM (
+             |  SELECT x.vec_id AS a, y.vec_id AS b,
+             |         round(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+             |           / (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])))
+             |            * sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])))), 6) AS cos_sim
+             |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id) p
+             |WHERE cos_sim >= 0.45 ORDER BY a, b""".stripMargin))
+  )
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star op).
+  *
+  * Design: media travels as an opaque `binary` column plus typed metadata.
+  * Decode / feature-extract runs per-partition over the binary payloads —
+  * the Spark-side shape (schema, batching, partition-parallel execution) is
+  * real; the codec itself is STUBBED with a deterministic fake because no
+  * image/audio libraries exist in this container. Swapping
+  * [[MediaDecoder.decodeStub]] for a real JNI/library call changes nothing
+  * about the plan.
+  *
+  * Scale notes: payloads stay columnar-compressed in parquet until the scan
+  * projects them; decode is a narrow mapPartitions (no shuffle), so 1000
+  * executors decode 1000 slices independently. Metadata-only queries never
+  * touch the binary column at all (column pruning).
+  */
+object Multimodal {
+
+  /** Typed decoded-metadata record (what a real image decode would yield). */
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Long, width: Long, height: Long,
+      channels: Long, fp: String)
+
+  object MediaDecoder {
+    /** Deterministic fake decode: dimensions derived from payload length,
+      * fingerprint = md5 of the payload bytes. A real decoder would parse
+      * the container header here.
+      */
+    def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val fp = md.digest(payload).map("%02x".format(_)).mkString
+      MediaMeta(
+        doc_id = docId,
+        n_bytes = payload.length.toLong,
+        width = payload.length.toLong % 640 + 1,
+        height = payload.length.toLong % 480 + 1,
+        channels = 3L,
+        fp = fp)
+    }
+  }
+
+  /** Decode a binary media column to typed metadata, partition-parallel.
+    * `documents.text` stands in for the payload (cast to its UTF-8 bytes);
+    * with a real media table this would be the stored blob column.
+    */
+  def decodeMeta(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => MediaDecoder.decodeStub(id, bytes) })
+      .toDF()
+  }
+
+  // ---- declared queries -------------------------------------------------
+
+  val queries: Seq[QueryDef] = Seq(
+    // The stub is deterministic arithmetic over byte lengths + md5, so even
+    // the "decode" is oracle-checkable — the plumbing is verified end-to-end.
+    QueryDef(
+      "x11_multimodal_meta",
+      (s, dir) => decodeMeta(s, Tables.documents(s, dir)).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |       CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+             |       CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+             |       CAST(3 AS BIGINT) AS channels,
+             |       md5(text) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}
