@@ -10,7 +10,8 @@ object SparkEntry {
   /** Every declared query (SURVEY.md §2.C + north-star operators). */
   def defs: Seq[QueryDef] =
     CoreQueries.all ++ Dedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ Multimodal.queries ++ ExtraQueries.all
+      TextAnalysis.queries ++ Multimodal.queries ++ ExtraQueries.all ++
+      graft.streaming.StreamingOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q8 (TPC-H Q1 shape): scan→project→partial/final agg→sort end-to-end.

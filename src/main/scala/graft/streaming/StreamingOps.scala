@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.dsumSql
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming renderings of the reference's unbounded-producer
+  * semantics (`/root/reference/src/pipeline/builder.rs:96-98`: "infinite
+  * stream ... by simply never returning None"; backpressure `mod.rs:52-55`;
+  * quiescence detection `sync.rs:44-46`).
+  *
+  * Mapping: unbounded producer → `readStream` source (rate-limited via
+  * maxFilesPerTrigger ≈ pipe_buffer_size backpressure); stateful stage →
+  * `mapGroupsWithState`; `Pipeline::wait` → `processAllAvailable()`;
+  * termination detection comes from the engine.
+  */
+object StreamingOps {
+
+  /** Streaming twin of q15: file-source stream over the events parquet,
+    * 1-hour tumbling window + watermark, complete-mode aggregation into a
+    * memory sink, returned as a plain DataFrame with the exact q15 schema —
+    * so it shares q15's DuckDB oracle and the batch/stream parity is
+    * hash-checked by the driver.
+    *
+    * Scale: the same plan pointed at a real unbounded source (kafka) on a
+    * cluster is incremental — the state store holds one row per open
+    * (window, event_type); watermark bounds state growth.
+    */
+  def tumblingHourly(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // The file source requires a *directory*; stage the single parquet file
+    // into a temp dir (testdata itself is read-only).
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_${dir.hashCode.toHexString}")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      staged.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val raw = spark.readStream
+      .schema(fileSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    // Watermarks require TIMESTAMP (not NTZ) — keep TimestampType inside
+    // the stream (session tz is UTC so wall-clock matches) and convert to
+    // NTZ only at the output boundary to match the batch q15 schema.
+    val events =
+      if (fileSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      else raw.withColumn("ts", col("ts").cast("timestamp"))
+
+    spark.catalog.dropTempView(sinkName)
+    val q = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("s"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+      // window.start is TimestampType — matching batch q15's date_trunc
+      // output type exactly (session tz UTC keeps wall-clock identical).
+      .select(col("window.start").as("w"), col("event_type"), col("c"), col("s"))
+      .orderBy("w", "event_type")
+  }
+
+  /** Per-key running sum as a custom stateful stage (the reference's
+    * `Arc<Mutex>` running-sum idiom, `/root/reference/src/lib.rs:161-185`,
+    * rendered the Spark way): `mapGroupsWithState` over a keyed stream.
+    * Used by the streaming spec with a MemoryStream source.
+    */
+  def runningTotals(spark: SparkSession,
+      keyed: org.apache.spark.sql.Dataset[(Long, Double)]): DataFrame = {
+    import spark.implicits._
+    keyed.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: Long, values: Iterator[(Long, Double)], state: GroupState[Double]) =>
+          val prev = state.getOption.getOrElse(0.0)
+          val total = prev + values.map(_._2).sum
+          state.update(total)
+          (key, total)
+      }
+      .toDF("user_id", "total")
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "x17_stream_tumbling",
+      (s, dir) => tumblingHourly(s, dir, "x17_stream_tumbling_sink"),
+      Some(s"""SELECT date_trunc('hour', ts) AS w, event_type,
+              |       count(*) AS c, round(${dsumSql("value")}, 2) AS s
+              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Per-operator behavior specs on sf0.001 plus controlled synthetic cases
+  * (consume-and-assert style, like the reference's tests).
+  */
+class OperatorSpec extends SparkSuite {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("shingles: 3-gram count = tokens - 2, distinct") {
+    val sh = TextOps.shingles(docs((1L, "a b c d"), (2L, "x y")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // doc 2 has fewer than 3 tokens → no shingles
+    assert(sh == Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("exact dedup keeps smallest doc_id per normalized text") {
+    val out = Dedup.exactKeepFirst(docs(
+      (5L, "Hello World"), (2L, "hello world"), (9L, "other")))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(2L, 9L))
+  }
+
+  test("ngram jaccard finds identical docs at J=1.0 and ignores disjoint") {
+    val out = Dedup.ngramJaccardPairs(docs(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "completely different text entirely here")), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash-LSH output equals exact jaccard output on sf0.001") {
+    val d = Tables.documents(spark, sfDir)
+    val exact = Dedup.ngramJaccardPairs(d, 0.8).orderBy("a", "b").collect().toSeq
+    val lsh = Dedup.minhashLshPairs(d, 0.8).orderBy("a", "b").collect().toSeq
+    assert(exact.nonEmpty, "sf0.001 should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs at hamming 0; banded search finds them") {
+    val out = Dedup.simhashPairs(docs(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "unrelated words completely elsewhere totally")), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == Seq((1L, 2L, 0)))
+  }
+
+  test("ann top-k: query vector itself is rank 1 with cos 1.0; recall >= 7/10") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.cosineTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val ann = Similarity.annTopK(spark, emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ann.head == ((0L, 1.0)))
+    val recall = ann.map(_._1).count(exact.contains)
+    assert(recall >= 7, s"ANN recall@10 = $recall")
+  }
+
+  test("langid is deterministic and covers all docs") {
+    val out = TextAnalysis.langId(Tables.documents(spark, sfDir))
+    assert(out.count() == Tables.documents(spark, sfDir).count())
+    val preds = out.select("pred_lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "de", "es", "fr", "zh")))
+  }
+
+  test("quality score is within [0, 10000]") {
+    val bad = TextAnalysis.qualityScore(Tables.documents(spark, sfDir))
+      .filter(col("quality") < 0 || col("quality") > 10000)
+    assert(bad.isEmpty)
+  }
+
+  test("multimodal decode stub: metadata matches payload bytes") {
+    val out = operators.Multimodal.decodeMeta(spark, docs((7L, "abc")))
+      .collect().head
+    assert(out.getLong(1) == 3L) // n_bytes
+    assert(out.getLong(2) == 4L) // width  = 3 % 640 + 1
+    assert(out.getLong(3) == 4L) // height = 3 % 480 + 1
+    assert(out.getString(5) == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+  }
+}
