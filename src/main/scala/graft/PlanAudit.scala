@@ -1,0 +1,60 @@
+package graft
+
+/** Physical-plan audit (run per round; results recorded in PERF.md).
+  *
+  * Asserts the scale-critical plan properties: parquet pushdown + column
+  * pruning, broadcast joins for dimensions, partial+final aggregation,
+  * whole-stage codegen, window-group-limit top-k pushdown, and top-k as
+  * TakeOrdered rather than a global sort. Exits nonzero if any check fails
+  * so it can gate future rounds.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(8)
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    var failed = 0
+
+    def finalPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      // collect() finalizes THIS df's AQE plan (a noop write would spawn a
+      // separate QueryExecution and leave this one un-finalized).
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    def check(name: String, label: String, good: String => Boolean): Unit = {
+      val ok = good(finalPlan(name))
+      if (!ok) failed += 1
+      println(f"$name%-22s $label%-40s ${if (ok) "OK" else "MISSING"}")
+    }
+
+    check("q01_scan_project", "ReadSchema pruned to referenced cols",
+      _.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_linenumber:int,l_quantity:double>"))
+    check("q01_scan_project", "TakeOrderedAndProject (no global sort)",
+      _.contains("TakeOrderedAndProject"))
+    check("q02_filter", "predicates pushed to parquet scan",
+      p => p.contains("PushedFilters: [IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThan(l_discount,0.05)"))
+    check("q08_group_agg", "partial+final HashAggregate",
+      p => "HashAggregate".r.findAllIn(p).length >= 2)
+    check("q08_group_agg", "whole-stage codegen spans",
+      _.contains("*("))
+    check("q08_group_agg", "AQE shuffle coalescing",
+      _.contains("AQEShuffleRead"))
+    check("q10_broadcast_join", "BroadcastHashJoin (dim side)",
+      _.contains("BroadcastHashJoin"))
+    check("q10_broadcast_join", "no sort-merge of fact side",
+      p => !p.contains("SortMergeJoin"))
+    check("q11_join3", "all star arms broadcast",
+      p => "BroadcastHashJoin".r.findAllIn(p).length >= 3 && !p.contains("SortMergeJoin"))
+    check("q12_semi_join", "planned as LeftSemi", _.contains("LeftSemi"))
+    check("q13_anti_join", "planned as LeftAnti", _.contains("LeftAnti"))
+    check("q16_topk", "WindowGroupLimit pushdown", _.contains("WindowGroupLimit"))
+    check("q18_similarity_topk", "top-k as TakeOrdered", _.contains("TakeOrderedAndProject"))
+    check("q18_similarity_topk", "query vector broadcast", _.contains("Broadcast"))
+    check("x02_ngram_jaccard", "inverted-index join on shingle",
+      p => p.contains("shingle#") && p.contains("Join"))
+
+    println(if (failed == 0) "ALL PLAN CHECKS OK" else s"$failed CHECKS FAILED")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

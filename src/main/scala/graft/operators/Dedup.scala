@@ -177,18 +177,56 @@ object Dedup {
     * so only same/adjacent-bucket pairs are compared.
     */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val withNorm = emb.select(col("vec_id"),
-      transform(col("embedding"), (x: Column) => x.cast("double")).as("e"))
-      .withColumn("norm", sqrt(aggregate(
-        zip_with(col("e"), col("e"), (x: Column, y: Column) => x * y),
-        lit(0.0), (acc: Column, v: Column) => acc + v)))
-    withNorm.as("x").join(withNorm.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        round(
-          aggregate(zip_with(col("x.e"), col("y.e"), (p: Column, q: Column) => p * q),
-            lit(0.0), (acc: Column, v: Column) => acc + v)
-            / (col("x.norm") * col("y.norm")), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+    // Broadcast block-nested-loop: one side collected as primitive
+    // double[][] and broadcast; each partition streams its rows against the
+    // broadcast block in tight while-loops — every pair's dot computed
+    // exactly once, no per-pair boxing. (A declarative self-join here makes
+    // Catalyst evaluate the interpreted cosine TWICE per pair — once in the
+    // join condition, once in the projection — ~60s vs ~2s at 2000².)
+    //
+    // Arithmetic mirrors the DuckDB oracle bit-for-bit: ascending-index
+    // double accumulation, dot/(sqrt(na)*sqrt(nb)), then Spark-style
+    // HALF_UP rounding at 6dp.
+    //
+    // 100 TB path: this IS the broadcast side of a block join — when the
+    // corpus outgrows one broadcast block, tile it (iterate blocks) or
+    // pre-bucket with the hyperplane LSH from [[Similarity.annTopK]].
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def dotP(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+    val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val block = vecs.collect().sortBy(_._1)
+    val ids = block.map(_._1)
+    val mat = block.map(_._2.map(_.toDouble))
+    val norms = mat.map(v => math.sqrt(dotP(v, v)))
+    val bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    vecs.mapPartitions { it =>
+      val (ids, mat, norms) = bc.value
+      it.flatMap { case (aId, aF) =>
+        val a = aF.map(_.toDouble)
+        val na = math.sqrt(dotP(a, a))
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var j = 0
+        while (j < ids.length) {
+          if (ids(j) > aId) {
+            val c = round6(dotP(a, mat(j)) / (na * norms(j)))
+            if (c >= threshold) out += ((aId, ids(j), c))
+          }
+          j += 1
+        }
+        out.result()
+      }
+    }.toDF("a", "b", "cos_sim")
   }
 
   // ---- declared queries -------------------------------------------------
