@@ -39,7 +39,12 @@ object Dedup {
     * the cap is unaffected when the threshold filter compensates.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = TextOps.shingles(docs)
+    // The shingle set is referenced 3× (join sides + sizes); without
+    // materialization the scan→tokenize→window pipeline re-runs for each
+    // reference (5 FileScans, 7 Window ops observed). localCheckpoint
+    // computes it once; at warehouse scale this would be a persisted
+    // shingle index table instead.
+    val sh = TextOps.shingles(docs).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -85,7 +90,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, threshold: Double,
       bands: Int = 16, rows: Int = 2): DataFrame = {
     val numPerm = bands * rows
-    val sh = TextOps.shingles(docs)
+    val sh = TextOps.shingles(docs).localCheckpoint() // see ngramJaccardPairs
 
     // One minhash column per permutation, in a single aggregation pass.
     val minhashes = sh.groupBy("doc_id").agg(

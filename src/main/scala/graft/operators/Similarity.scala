@@ -25,18 +25,25 @@ object Similarity {
   private def toDouble(c: Column): Column =
     transform(c, (x: Column) => x.cast("double"))
 
+  /** Codegen'd native dot product ([[graft.functions.DotProduct]]) — same
+    * ascending accumulation as the interpreted `aggregate(zip_with(...))`
+    * rendering and DuckDB's list_dot_product, but fused into whole-stage
+    * codegen. Callers must register [[graft.functions.GraftFunctions]] on
+    * the session first (done in [[withCosine]]/[[annTopK]]).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x: Column, y: Column) => x * y),
-      lit(0.0), (acc: Column, v: Column) => acc + v)
+    call_function("graft_dot", a, b)
 
   /** cos(e, q) for all rows against the single-row `query` DF (broadcast). */
-  private def withCosine(emb: DataFrame, query: DataFrame): DataFrame =
+  private def withCosine(emb: DataFrame, query: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .crossJoin(broadcast(query))
       .select(col("vec_id"),
         round(dot(col("e"), col("q"))
           / (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("q"), col("q")))), 6)
           .as("cos_sim"))
+  }
 
   /** Exact top-k by cosine against the embedding of `queryId`. */
   def cosineTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
@@ -58,6 +65,7 @@ object Similarity {
     */
   def annTopK(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
       planes: Int = 16, maxBits: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val dim = 64
     val rnd = new scala.util.Random(42)
     val hp = Array.fill(planes, dim)(rnd.nextGaussian())
