@@ -56,6 +56,32 @@ object Multimodal {
       .toDF()
   }
 
+  /** Frame sampling over a binary "video" payload: every `stride` bytes,
+    * take a `frameBytes`-byte frame; emit per-frame metadata + content
+    * hash. Runs as a partition-parallel flatMap over the payload bytes —
+    * the exact shape of a real frame extractor (decode stub, Spark
+    * plumbing real). Scale: narrow transform, no shuffle; frame rows
+    * scale linearly and spill to the sink incrementally.
+    */
+  def frameSample(spark: SparkSession, docs: DataFrame,
+      frameBytes: Int = 64, stride: Int = 128): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Iterator.range(0, bytes.length, stride).zipWithIndex.map {
+          case (off, idx) =>
+            val frame = java.util.Arrays.copyOfRange(
+              bytes, off, math.min(off + frameBytes, bytes.length))
+            md.reset()
+            val fp = md.digest(frame).map("%02x".format(_)).mkString
+            (id, idx.toLong, frame.length.toLong, fp)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_bytes", "frame_md5")
+  }
+
   // ---- declared queries -------------------------------------------------
 
   val queries: Seq[QueryDef] = Seq(
@@ -70,6 +96,22 @@ object Multimodal {
              |       CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
              |       CAST(3 AS BIGINT) AS channels,
              |       md5(text) AS fp
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Frame sampling oracle: documents.text is pure ASCII (verified), so
+    // VARCHAR substr in DuckDB slices the same bytes the Spark side slices
+    // from the binary payload.
+    QueryDef(
+      "x22_frame_sample",
+      (s, dir) => frameSample(s, Tables.documents(s, dir))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""SELECT doc_id, frame_idx,
+             |       CAST(length(f) AS BIGINT) AS frame_bytes, md5(f) AS frame_md5
+             |FROM (
+             |  SELECT doc_id, frame_idx, substr(text, CAST(frame_idx * 128 + 1 AS BIGINT), 64) AS f
+             |  FROM (SELECT doc_id, text,
+             |               unnest(generate_series(0, CAST((length(text) - 1) // 128 AS BIGINT))) AS frame_idx
+             |        FROM documents) g) t
+             |ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

@@ -90,6 +90,50 @@ object StreamingOps {
       .toDF("user_id", "total")
   }
 
+  /** Streaming sessionization via `flatMapGroupsWithState` — the custom-
+    * state twin of the batch gaps-and-islands query (x19). Per user, state
+    * holds the event-time buffer; each invocation merges the new batch,
+    * re-segments on the 30-minute gap, and emits (user_id, session_id,
+    * n_events, first_event, dur_us) rows — identical schema and semantics
+    * to x19 when the stream is fully drained.
+    *
+    * Scale: state per key is the user's event times within the re-segment
+    * horizon; with a watermark + TTL timeout (production configuration)
+    * closed sessions leave state. Kept timeout-free here so a drained
+    * finite stream yields exactly the batch answer.
+    */
+  def sessionizeStream(spark: SparkSession,
+      events: org.apache.spark.sql.Dataset[(Long, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[(Long, Long)]), (Long, Long, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[(Long, Long, Long)],
+            state: GroupState[(Long, Seq[(Long, Long)])]) =>
+          val (prevVersion, buffered) = state.getOption.getOrElse((0L, Seq.empty))
+          val merged = (buffered ++ batch.map(e => (e._2, e._3))).distinct.sortBy(identity)
+          val version = prevVersion + 1
+          state.update((version, merged))
+          // re-segment the full buffer: new session when gap > 30 min.
+          // Each emission carries `version` so consumers can keep only the
+          // latest revision per user (sessions may merge across batches).
+          var sessionId = 0L
+          var prevUs = Long.MinValue
+          val out = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+          merged.foreach { case (us, eid) =>
+            if (prevUs == Long.MinValue || us - prevUs > 1800000000L) sessionId += 1
+            val (n, first, start, end) =
+              out.getOrElse(sessionId, (0L, eid, us, us))
+            out(sessionId) = (n + 1, math.min(first, eid), math.min(start, us), math.max(end, us))
+            prevUs = us
+          }
+          out.iterator.map { case (sid, (n, first, start, end)) =>
+            (user, version, sid, n, first, end - start)
+          }
+      }
+      .toDF("user_id", "version", "session_id", "n_events", "first_event", "dur_us")
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef(
       "x17_stream_tumbling",
