@@ -64,6 +64,19 @@ class OperatorSpec extends SparkSuite {
     assert(recall >= 7, s"ANN recall@10 = $recall")
   }
 
+  test("ivf top-k: query is rank 1; recall vs exact >= 6/10; deterministic") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.cosineTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSeq
+    val ivf1 = Similarity.ivfTopK(spark, emb, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf2 = Similarity.ivfTopK(spark, emb, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf1 == ivf2, "IVF must be deterministic across runs")
+    assert(ivf1.head == ((0L, 1.0)))
+    val recall = ivf1.map(_._1).count(exact.contains)
+    assert(recall >= 6, s"IVF recall@10 = $recall")
+  }
+
   test("langid is deterministic and covers all docs") {
     val out = TextAnalysis.langId(Tables.documents(spark, sfDir))
     assert(out.count() == Tables.documents(spark, sfDir).count())
