@@ -152,6 +152,43 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"))
 
+  /** Rabin–Karp rolling-hash fingerprint: the full-document polynomial
+    * hash plus the minimum windowed hash (a winnowing-style selection) —
+    * each window hash derived from the previous in O(1) via the rolling
+    * update `H·B − c_out·B^w + c_in (mod P)`. The per-doc UDF is a single
+    * linear pass; deterministic across runs/JVMs.
+    */
+  def rollingFingerprint(docs: DataFrame, window: Int = 48): DataFrame = {
+    val P = (1L << 61) - 1 // Mersenne prime
+    val B = 257L
+    def mulmod(a: Long, b: Long): Long =
+      (BigInt(a) * BigInt(b) % BigInt(P)).toLong
+    val fpUdf = udf { (text: String) =>
+      val bytes = text.getBytes("UTF-8")
+      var full = 0L
+      bytes.foreach(c => full = (mulmod(full, B) + (c & 0xff)) % P)
+      var winMin = Long.MaxValue
+      if (bytes.length >= window) {
+        var bw = 1L // B^window mod P
+        (0 until window).foreach(_ => bw = mulmod(bw, B))
+        var h = 0L
+        (0 until window).foreach(i => h = (mulmod(h, B) + (bytes(i) & 0xff)) % P)
+        winMin = h
+        var i = window
+        while (i < bytes.length) {
+          val out = mulmod(bytes(i - window) & 0xff, bw)
+          h = ((mulmod(h, B) + (bytes(i) & 0xff) - out) % P + P) % P
+          if (h < winMin) winMin = h
+          i += 1
+        }
+      }
+      (full, if (winMin == Long.MaxValue) -1L else winMin)
+    }
+    docs.select(col("doc_id"), fpUdf(col("text")).as("fp"))
+      .select(col("doc_id"),
+        col("fp._1").as("poly_hash"), col("fp._2").as("win_min_hash"))
+  }
+
   // ---- declared queries -------------------------------------------------
 
   val queries: Seq[QueryDef] = Seq(
@@ -181,6 +218,13 @@ object TextAnalysis {
       "x10_fingerprint",
       (s, dir) => fingerprint(Tables.documents(s, dir)).orderBy("doc_id"),
       Some("""SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Modular rolling-hash arithmetic has no faithful DuckDB rendering →
+    // rows-only; known-answer + rolling==direct properties in the spec.
+    QueryDef(
+      "x24_rolling_fingerprint",
+      (s, dir) => rollingFingerprint(Tables.documents(s, dir)).orderBy("doc_id"),
+      None)
   )
 }

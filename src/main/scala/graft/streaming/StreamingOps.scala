@@ -29,7 +29,15 @@ object StreamingOps {
     * (window, event_type); watermark bounds state growth.
     */
   def tumblingHourly(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
-    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // Explicit raw schema (ts = nanos long) — same session-independent
+    // trick as Tables.events; streaming sources require a schema anyway.
+    val fileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
     // The file source requires a *directory*; stage the single parquet file
     // into a temp dir (testdata itself is read-only).
     val staged = java.nio.file.Paths.get(
@@ -44,12 +52,9 @@ object StreamingOps {
       .option("maxFilesPerTrigger", "1")
       .parquet(staged.toString)
     // Watermarks require TIMESTAMP (not NTZ) — keep TimestampType inside
-    // the stream (session tz is UTC so wall-clock matches) and convert to
-    // NTZ only at the output boundary to match the batch q15 schema.
-    val events =
-      if (fileSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      else raw.withColumn("ts", col("ts").cast("timestamp"))
+    // the stream (session tz is UTC so wall-clock matches); the window
+    // output is already the TimestampType the batch q15 emits.
+    val events = raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
 
     spark.catalog.dropTempView(sinkName)
     val q = events

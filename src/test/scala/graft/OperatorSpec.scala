@@ -91,6 +91,26 @@ class OperatorSpec extends SparkSuite {
     assert(bad.isEmpty)
   }
 
+  test("rolling fingerprint: rolling window hash equals direct recomputation") {
+    val P = BigInt((1L << 61) - 1)
+    val B = BigInt(257)
+    def direct(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(BigInt(0))((h, c) => (h * B + (c & 0xff)) % P).toLong
+    val text = "the quick brown fox jumps over the lazy dog repeatedly and often"
+    val out = TextAnalysis.rollingFingerprint(docs((1L, text)), window = 8)
+      .collect().head
+    assert(out.getLong(1) == direct(text))
+    // min over all direct window hashes == the rolled minimum
+    val winDirect = text.getBytes("UTF-8").sliding(8)
+      .map(w => w.foldLeft(BigInt(0))((h, c) => (h * B + (c & 0xff)) % P).toLong)
+      .min
+    assert(out.getLong(2) == winDirect)
+    // short doc → no window hash
+    val shortOut = TextAnalysis.rollingFingerprint(docs((2L, "tiny")), window = 8)
+      .collect().head
+    assert(shortOut.getLong(2) == -1L)
+  }
+
   test("multimodal decode stub: metadata matches payload bytes") {
     val out = operators.Multimodal.decodeMeta(spark, docs((7L, "abc")))
       .collect().head
