@@ -38,15 +38,17 @@ object StreamingOps {
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    // The file source requires a *directory*; stage the single parquet file
-    // into a temp dir (testdata itself is read-only).
+    // The file source requires a *directory*; stage the events split into
+    // 4 files (testdata itself is read-only) so maxFilesPerTrigger=1 makes
+    // the aggregation genuinely incremental: 4 microbatches updating state,
+    // not one batch in a trench coat.
     val staged = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_stream_${dir.hashCode.toHexString}")
-    java.nio.file.Files.createDirectories(staged)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(dir, "events.parquet"),
-      staged.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    if (!java.nio.file.Files.isDirectory(staged)) {
+      spark.read.schema(fileSchema).parquet(s"$dir/events.parquet")
+        .repartition(4)
+        .write.mode("overwrite").parquet(staged.toString)
+    }
     val raw = spark.readStream
       .schema(fileSchema)
       .option("maxFilesPerTrigger", "1")

@@ -104,6 +104,21 @@ class PipeGraphSpec extends SparkSuite {
     assert(seen == (1 to 10))
   }
 
+  test("task failure propagates and aborts the pipeline (stage_tests.rs:166-180)") {
+    val g = PipeGraph.builder
+      .inputs("in", seq(Seq(1, 2, 3)))
+      .stage("in", "out") { df =>
+        val boom = org.apache.spark.sql.functions.udf((v: Int) =>
+          if (v >= 0) throw new RuntimeException("task panicked") else v)
+        df.select(boom(col("v")).as("v"))
+      }
+      .consumer("out")(df => { df.collect(); () })
+      .build().toOption.get
+    val e = intercept[Exception](g.run(spark))
+    assert(e.getMessage.contains("task panicked") ||
+      Option(e.getCause).exists(_.getMessage.contains("task panicked")))
+  }
+
   test("cycle that never converges hits maxIterations") {
     val g = PipeGraph.builder
       .inputs("loop", seq(Seq(1)))
