@@ -36,6 +36,17 @@ import scala.collection.mutable
 object PipeGraph {
   def builder: Builder = new Builder(Vector.empty)
 
+  /** R15 `WorkerOptions` analog: concurrency knobs per stage.
+    * `ordered` ≈ `default_single_task()` (sequential FIFO);
+    * `maxParallelism` ≈ `max_task_count` (caps concurrent tasks).
+    */
+  final case class PipeOptions(
+      ordered: Boolean = false, maxParallelism: Option[Int] = None) {
+    private[pipeline] def apply(df: DataFrame): DataFrame =
+      if (ordered) df.coalesce(1)
+      else maxParallelism.map(df.coalesce).getOrElse(df)
+  }
+
   private[pipeline] sealed trait Node {
     def reads: Option[String]
     def writes: Seq[String]
@@ -70,9 +81,41 @@ object PipeGraph {
     def producer(pipe: String)(make: SparkSession => DataFrame): Builder =
       add(Producer(pipe, make))
 
+    /** R2 `with_branching_inputs` / R14 `branch_inputs!`: static multi-
+      * output source — the i-th DataFrame feeds the i-th pipe (the
+      * reference boxes tuple positions; here each position is a typed DF).
+      */
+    def branchingInputs(pipes: Seq[String],
+        make: SparkSession => Seq[DataFrame]): Builder =
+      branchingProducer(pipes)(make)
+
+    /** R4 `with_branching_producer`: dynamic multi-output source; a `None`
+      * slot in the reference skips a pipe — here an empty DataFrame is the
+      * equivalent (bag semantics make them identical downstream).
+      */
+    def branchingProducer(pipes: Seq[String])(
+        make: SparkSession => Seq[DataFrame]): Builder =
+      pipes.zipWithIndex.foldLeft(this) { case (b, (pipe, i)) =>
+        b.add(Producer(pipe, s => {
+          val dfs = make(s)
+          require(dfs.length == pipes.length,
+            s"branching producer returned ${dfs.length} outputs for ${pipes.length} pipes")
+          dfs(i)
+        }))
+      }
+
     /** R5 `with_stage`: 1-in/1-out map+filter (Option-drop ≡ filter). */
     def stage(in: String, out: String)(op: DataFrame => DataFrame): Builder =
       add(Transform(in, Seq(out), df => Seq(op(df))))
+
+    /** R5 + R15 `WorkerOptions`: `opts.ordered` renders the reference's
+      * single-task FIFO mode (`default_single_task`, mod.rs:67-74) as
+      * coalesce(1) — one sequential task; `opts.maxParallelism` caps the
+      * partition count like `max_task_count` caps concurrent tasks.
+      */
+    def stage(in: String, out: String, opts: PipeOptions)(
+        op: DataFrame => DataFrame): Builder =
+      add(Transform(in, Seq(out), df => Seq(op(opts(df)))))
 
     /** R6 `with_branching_stage`: 1-in/N-out router; one DataFrame per
       * output pipe (each with its own schema — the reference's per-branch

@@ -72,6 +72,48 @@ class PipeGraphSpec extends SparkSuite {
     assert(odd == 25 && even == 30 && total == 55)
   }
 
+  // --- branching inputs/producer (lib.rs:331-335, stage_tests.rs sums 45/90)
+
+  test("branching producer: positional outputs reach their pipes (sums 45/90)") {
+    var s1, s2 = 0L
+    val g = PipeGraph.builder
+      .branchingProducer(Seq("ones", "doubles")) { s =>
+        import s.implicits._
+        Seq((1 to 9).toDF("v"), (1 to 9).map(_ * 2).toDF("v"))
+      }
+      .consumer("ones")(df => s1 = df.agg(sum("v")).head().getLong(0))
+      .consumer("doubles")(df => s2 = df.agg(sum("v")).head().getLong(0))
+      .build().toOption.get
+    g.run(spark)
+    assert(s1 == 45 && s2 == 90)
+  }
+
+  test("branching inputs: heterogeneous per-pipe schemas (branch_inputs! analog)") {
+    var names: Seq[String] = Nil
+    var nums: Seq[Int] = Nil
+    val g = PipeGraph.builder
+      .branchingInputs(Seq("names", "nums"), s => {
+        import s.implicits._
+        Seq(Seq("a", "b").toDF("name"), Seq(10, 20).toDF("n"))
+      })
+      .consumer("names")(df => names = df.collect().map(_.getString(0)).sorted.toSeq)
+      .consumer("nums")(df => nums = df.collect().map(_.getInt(0)).sorted.toSeq)
+      .build().toOption.get
+    g.run(spark)
+    assert(names == Seq("a", "b") && nums == Seq(10, 20))
+  }
+
+  test("ordered stage option (R15 single-task mode) yields one partition") {
+    var parts = -1
+    val g = PipeGraph.builder
+      .inputs("in", seq(1 to 100))
+      .stage("in", "out", PipeGraph.PipeOptions(ordered = true))(identity)
+      .consumer("out")(df => parts = df.rdd.getNumPartitions)
+      .build().toOption.get
+    g.run(spark)
+    assert(parts == 1)
+  }
+
   // --- flattener (builder.rs:315-328: [[1,2],[3,4,5]] → sum 15)
 
   test("flattener explodes nested lists, sum = 15") {
