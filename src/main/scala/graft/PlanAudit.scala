@@ -52,6 +52,8 @@ object PlanAudit {
     check("q18_similarity_topk", "query vector broadcast", _.contains("Broadcast"))
     check("x02_ngram_jaccard", "inverted-index join on shingle",
       p => p.contains("shingle#") && p.contains("Join"))
+    check("x25_date_filter_agg", "timestamp predicate pushed to scan",
+      _.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
 
     println(if (failed == 0) "ALL PLAN CHECKS OK" else s"$failed CHECKS FAILED")
     spark.stop()

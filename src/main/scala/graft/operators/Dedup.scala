@@ -38,14 +38,27 @@ object Dedup {
     * join to neutralize boilerplate-shingle skew — exactness for pairs below
     * the cap is unaffected when the threshold filter compensates.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+      maxDocFreq: Option[Long] = None): DataFrame = {
     // The shingle set is referenced 3× (join sides + sizes); without
     // materialization the scan→tokenize→window pipeline re-runs for each
     // reference (5 FileScans, 7 Window ops observed). localCheckpoint
     // computes it once; at warehouse scale this would be a persisted
     // shingle index table instead.
-    val sh = TextOps.shingles(docs).localCheckpoint()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shAll = TextOps.shingles(docs).localCheckpoint()
+    // Skew guard for the inverted-index join: a boilerplate shingle
+    // appearing in d documents contributes d² join rows. Dropping shingles
+    // with document frequency > maxDocFreq caps the worst key's fan-out;
+    // they carry no discriminative signal, and counting sizes BEFORE the
+    // drop keeps the Jaccard denominator exact.
+    val sh = maxDocFreq match {
+      case None => shAll
+      case Some(cap) =>
+        val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        shAll.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+    val sizes = shAll.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

@@ -28,6 +28,22 @@ object AdvancedQueries {
 
   val all: Seq[QueryDef] = Seq(
 
+    // Timestamp-predicate pushdown: the date filter must reach the parquet
+    // scan (PushedFilters shows LessThanOrEqual(l_shipdate,...)) — at 100 TB
+    // with date-partitioned data this same predicate prunes partitions.
+    QueryDef(
+      "x25_date_filter_agg",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(expr("l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"), round(dsum(col("l_extendedprice")), 2).as("sum_price"))
+          .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, count(*) AS cnt,
+              |       round(${dsumSql("l_extendedprice")}, 2) AS sum_price
+              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Full cube over the two lineitem dimensions (extends x12's rollup to
     // all 2^k grouping sets).
     QueryDef(

@@ -36,6 +36,22 @@ class OperatorSpec extends SparkSuite {
     assert(out == Seq((1L, 2L, 1.0)))
   }
 
+  test("ngram jaccard DF-cap drops boilerplate shingles, keeps exact pairs") {
+    // docs 1/2 are true near-dups; the "x y z" boilerplate shingle appears
+    // in all four docs and would dominate the join without the cap.
+    val d = docs(
+      (1L, "x y z a b c d e f"),
+      (2L, "x y z a b c d e g"),
+      (3L, "x y z q r s t u v"),
+      (4L, "x y z m n o p q q"))
+    val capped = Dedup.ngramJaccardPairs(d, 0.5, maxDocFreq = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val exact = Dedup.ngramJaccardPairs(d, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(capped == Seq((1L, 2L)))
+    assert(exact == Seq((1L, 2L)))
+  }
+
   test("minhash-LSH output equals exact jaccard output on sf0.001") {
     val d = Tables.documents(spark, sfDir)
     val exact = Dedup.ngramJaccardPairs(d, 0.8).orderBy("a", "b").collect().toSeq
