@@ -63,6 +63,29 @@ object AdvancedQueries {
               |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
               |ORDER BY rf, ls""".stripMargin)),
 
+    // Explicit GROUPING SETS (completes the rollup/cube/grouping-sets
+    // triple): per-flag and per-status marginals in one pass — Catalyst
+    // expands to a single Expand + aggregation, not two scans.
+    QueryDef(
+      "x26_grouping_sets",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"), round(dsum(col("l_quantity")), 2).as("qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("cnt"), col("qty"))
+          .orderBy("rf", "ls"),
+      Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+              |       coalesce(l_linestatus, 'ALL') AS ls,
+              |       count(*) AS cnt, round(${dsumSql("l_quantity")}, 2) AS qty
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+              |ORDER BY rf, ls""".stripMargin)),
+
     // Sessionization (gaps-and-islands): a new session starts after a
     // >30-minute silence per user. This is the batch rendering of
     // Structured Streaming's session_window — same session boundaries.

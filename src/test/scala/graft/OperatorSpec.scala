@@ -93,6 +93,17 @@ class OperatorSpec extends SparkSuite {
     assert(recall >= 6, s"IVF recall@10 = $recall")
   }
 
+  test("quantized top-k: int8 candidates + exact re-rank equal the exact answer") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.cosineTopK(emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val quant = Similarity.quantizedTopK(spark, emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // with rerank=50 on 500 vectors the candidate set safely covers the
+    // true top-10, and the re-rank arithmetic is identical → exact match
+    assert(quant == exact)
+  }
+
   test("langid is deterministic and covers all docs") {
     val out = TextAnalysis.langId(Tables.documents(spark, sfDir))
     assert(out.count() == Tables.documents(spark, sfDir).count())
