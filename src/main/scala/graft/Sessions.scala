@@ -14,8 +14,9 @@ object Sessions {
     *    100 TB insurance policy for skewed keys.
     *  - shuffle.partitions matches local core count here; on a real cluster
     *    AQE's coalesce makes the initial number mostly irrelevant.
-    *  - UTC + nanosAsLong: deterministic timestamp semantics (TESTDATA
-    *    events.ts is parquet TIMESTAMP(NANOS) — see [[Tables.events]]).
+    *  - UTC: deterministic timestamp semantics. (nanosAsLong is kept for
+    *    ad-hoc `spark.read` of the events parquet; [[Tables.events]] itself
+    *    reads with an explicit schema and works on any session.)
     */
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
