@@ -80,6 +80,46 @@ object ExtraQueries {
              |        PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE), 2) AS delta
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Array scalar functions (§2.B scalar row: array family): size, sort,
+    // slice, membership — all codegen'd, all over the token arrays.
+    QueryDef(
+      "x28_array_funcs",
+      (s, dir) => {
+        val toks = filter(split(lower(col("text")), " "), (w: org.apache.spark.sql.Column) => w =!= "")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_toks"),
+            array_join(slice(sort_array(toks), 1, 3), ",").as("first3"),
+            array_contains(toks, "the").as("has_the"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |       CAST(len(toks) AS BIGINT) AS n_toks,
+             |       array_to_string(list_sort(toks)[1:3], ',') AS first3,
+             |       list_contains(toks, 'the') AS has_the
+             |FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+             |      FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Map scalar functions (§2.B scalar row: map family): parse the JSON
+    // props into a typed MapType, then element_at + map_keys.
+    QueryDef(
+      "x29_map_funcs",
+      (s, dir) => {
+        val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            element_at(m, "k").as("k_val"),
+            size(map_keys(m)).cast("long").as("n_keys"))
+          .orderBy("event_id")
+          .limit(1000)
+      },
+      Some("""SELECT event_id,
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             |       CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+             |FROM events ORDER BY event_id LIMIT 1000""".stripMargin)),
+
     // Approximate distinct (HLL++). Estimates are engine-specific → no
     // cross-engine oracle; rows-only. The point at 100 TB: one pass, no
     // shuffle of raw keys, fixed memory — this replaces q09 when exactness
