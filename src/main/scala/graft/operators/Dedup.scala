@@ -35,8 +35,10 @@ object Dedup {
     *
     * At 100 TB: the self-join shuffles by shingle (good: uniform-ish keys);
     * add a document-frequency cap filter on `sh` (e.g. df < 10^4) before the
-    * join to neutralize boilerplate-shingle skew — exactness for pairs below
-    * the cap is unaffected when the threshold filter compensates.
+    * join to neutralize boilerplate-shingle skew. With a cap, Jaccard is
+    * computed consistently over the RETAINED shingle space (numerator and
+    * denominator both exclude dropped hot shingles) — an exact similarity on
+    * the discriminative shingles, at the cost of ignoring shared boilerplate.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
       maxDocFreq: Option[Long] = None): DataFrame = {
@@ -49,8 +51,11 @@ object Dedup {
     // Skew guard for the inverted-index join: a boilerplate shingle
     // appearing in d documents contributes d² join rows. Dropping shingles
     // with document frequency > maxDocFreq caps the worst key's fan-out;
-    // they carry no discriminative signal, and counting sizes BEFORE the
-    // drop keeps the Jaccard denominator exact.
+    // they carry no discriminative signal. Sizes are computed from the SAME
+    // capped set as the common counts, so the reported value is the exact
+    // Jaccard over retained shingles (numerator and denominator agree) —
+    // mixing a capped numerator with full-set denominators would silently
+    // underestimate pairs that share dropped hot shingles.
     val sh = maxDocFreq match {
       case None => shAll
       case Some(cap) =>
@@ -58,7 +63,7 @@ object Dedup {
           .filter(col("df") > cap).select("shingle")
         shAll.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
-    val sizes = shAll.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

@@ -18,9 +18,17 @@ object Skew {
 
   def saltedAgg(df: DataFrame, key: Column, value: Column,
       salts: Int = 32): DataFrame = {
-    // Salt value never reaches the result (phase 2 merges partials), so a
-    // row-order-dependent salt is safe; it only needs to spread rows.
-    val salted = df.groupBy(key.as("k"), pmod(monotonically_increasing_id(), lit(salts)).as("salt"))
+    // The salt must be DETERMINISTIC per row: a positional salt
+    // (monotonically_increasing_id, spark_partition_id) changes on stage
+    // retry after a shuffle-fetch failure, so recomputed map tasks re-salt
+    // rows differently while surviving reducers keep old partials — lost or
+    // duplicated rows (the SPARK-23207 failure class). Content-derived
+    // xxhash64 over every column re-salts identically on recompute; fully
+    // identical rows sharing a salt only narrows spreading for exact
+    // duplicates, which is acceptable (and fixable by callers that have a
+    // unique id column — pass it through `df`).
+    val salt = pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts))
+    val salted = df.groupBy(key.as("k"), salt.as("salt"))
       .agg(sum(value.cast(DecimalType(18, 6))).as("psum"), count(lit(1)).as("pcnt"))
     salted.groupBy("k")
       .agg(sum(col("psum")).cast("double").as("total"), sum(col("pcnt")).as("cnt"))

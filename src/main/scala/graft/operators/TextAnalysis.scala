@@ -58,9 +58,11 @@ object TextAnalysis {
 
   /** Oracle-side rendering of [[langId]]. */
   val langIdSql: String = {
+    // CAST: DuckDB sum(INTEGER) yields HUGEINT; the Spark side is BIGINT,
+    // and the driver's hash gate is type-sensitive (see q07's pattern).
     val scoreExprs = langOrder.map { l =>
       val list = stopwords(l).map(w => s"'$w'").mkString(", ")
-      s"sum(CASE WHEN w IN ($list) THEN 1 ELSE 0 END) AS s_$l"
+      s"CAST(sum(CASE WHEN w IN ($list) THEN 1 ELSE 0 END) AS BIGINT) AS s_$l"
     }.mkString(",\n         ")
     val pred = langOrder.init.reverse.foldLeft(s"'${langOrder.last}'") { (els, l) =>
       val ge = langOrder.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
@@ -114,8 +116,9 @@ object TextAnalysis {
        |         (length(d.text) - length(regexp_replace(d.text, '[.,!?;:]', '', 'g'))) * 10000 // d.n_chars AS punct_per_10k,
        |         t.n_stop * 10000 // t.n_tokens AS stop_per_10k
        |  FROM documents d
-       |  JOIN (SELECT doc_id, count(*) AS n_tokens, sum(length(w)) AS tok_chars,
-       |               sum(CASE WHEN w IN ($en) THEN 1 ELSE 0 END) AS n_stop
+       |  JOIN (SELECT doc_id, count(*) AS n_tokens,
+       |               CAST(sum(length(w)) AS BIGINT) AS tok_chars,
+       |               CAST(sum(CASE WHEN w IN ($en) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
        |        FROM (${TextOps.tokensSql}) toks GROUP BY doc_id) t
        |    ON d.doc_id = t.doc_id) m""".stripMargin
   }

@@ -113,8 +113,8 @@ object AdvancedQueries {
               |       max(us) - min(us) AS dur_us
               |FROM (
               |  SELECT user_id, event_id, us,
-              |         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-              |                           ROWS UNBOUNDED PRECEDING) AS session_id
+              |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+              |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               |  FROM (
               |    SELECT user_id, event_id, us,
               |           CASE WHEN us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000

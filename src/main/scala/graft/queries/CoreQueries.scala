@@ -258,6 +258,9 @@ object CoreQueries {
           .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
             row_number().over(w).as("rn"))
           .filter(col("rn") <= 3)
+          // BIGINT to match DuckDB's row_number(); cast AFTER the filter so
+          // the rank predicate still plans as WindowGroupLimit pushdown.
+          .withColumn("rn", col("rn").cast("long"))
           .orderBy("c_mktsegment", "rn")
       },
       Some("""SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (

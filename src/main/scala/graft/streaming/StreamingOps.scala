@@ -42,12 +42,41 @@ object StreamingOps {
     // 4 files (testdata itself is read-only) so maxFilesPerTrigger=1 makes
     // the aggregation genuinely incremental: 4 microbatches updating state,
     // not one batch in a trench coat.
-    val staged = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_${dir.hashCode.toHexString}")
-    if (!java.nio.file.Files.isDirectory(staged)) {
-      spark.read.schema(fileSchema).parquet(s"$dir/events.parquet")
+    //
+    // The staging key folds in the source's total size + max mtime, so a
+    // regenerated events.parquet at the same path (or a hashCode collision
+    // between dataset paths) gets a fresh staging dir instead of silently
+    // replaying stale data against a fresh batch twin. Write goes to a
+    // temp dir then an atomic rename, so a concurrent stager can never
+    // expose a half-written directory.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val srcPath = Paths.get(dir, "events.parquet")
+    // events.parquet may be a single file or a parquet directory.
+    val srcFiles =
+      if (Files.isRegularFile(srcPath)) Vector(srcPath)
+      else {
+        val s = Files.list(srcPath)
+        try s.iterator().asScala.filter(Files.isRegularFile(_)).toVector finally s.close()
+      }
+    val srcBytes = srcFiles.map(Files.size).sum
+    val srcMtime = srcFiles.map(Files.getLastModifiedTime(_).toMillis).foldLeft(0L)(math.max)
+    val stageKey = java.lang.Long.toHexString(
+      java.util.Objects.hash(dir, srcBytes, srcMtime).toLong & 0xffffffffL)
+    val staged = Paths.get(sys.props("java.io.tmpdir"), s"graft_stream_$stageKey")
+    if (!Files.isDirectory(staged)) {
+      val tmp = Paths.get(
+        staged.toString + s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      spark.read.schema(fileSchema).parquet(srcPath.toString)
         .repartition(4)
-        .write.mode("overwrite").parquet(staged.toString)
+        .write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, staged, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // Lost the race to a concurrent stager — its (identical) copy wins.
+        case _: java.nio.file.FileSystemException if Files.isDirectory(staged) =>
+          Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+      }
     }
     val raw = spark.readStream
       .schema(fileSchema)

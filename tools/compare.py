@@ -56,17 +56,28 @@ def main():
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            otypes = dict(r[:2] for r in con.execute(f"DESCRIBE {sql}").fetchall())
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         try:
-            sres = con.execute(
-                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+            ssql = f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
+            sres = con.execute(ssql)
             scols = [d[0] for d in sres.description]
             srows = sres.fetchall()
+            stypes = dict(r[:2] for r in con.execute(f"DESCRIBE {ssql}").fetchall())
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
+            n_fail += 1
+            continue
+        # The driver's hash gate is TYPE-sensitive (uncast DuckDB sum() ->
+        # HUGEINT vs Spark BIGINT failed it in r01 while str()-canon passed),
+        # so mirror that: column type names must match, not just values.
+        tdiff = {c: (otypes.get(c), stypes.get(c)) for c in otypes
+                 if otypes.get(c) != stypes.get(c)}
+        if tdiff:
+            print(f"FAIL {name}: type mismatch (duckdb, spark): {tdiff}")
             n_fail += 1
             continue
         oc, orws = canon(ocols, orows)
