@@ -54,6 +54,12 @@ object PlanAudit {
       p => p.contains("shingle#") && p.contains("Join"))
     check("x25_date_filter_agg", "timestamp predicate pushed to scan",
       _.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    check("x40_q9_profit", "fact-fact edge is SortMergeJoin",
+      _.contains("SortMergeJoin"))
+    check("x40_q9_profit", "dim arms broadcast around the SMJ",
+      p => "BroadcastHashJoin".r.findAllIn(p).length >= 3)
+    check("x40_q9_profit", "p_type filter pushed to part scan",
+      _.contains("StringStartsWith(p_type,STANDARD)"))
 
     println(if (failed == 0) "ALL PLAN CHECKS OK" else s"$failed CHECKS FAILED")
     spark.stop()

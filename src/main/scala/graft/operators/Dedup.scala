@@ -193,11 +193,25 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Ascending-index double dot product — the accumulation order DuckDB's
+    * list_dot_product uses, so cosines hash-match the oracle bit-for-bit.
+    */
+  private def dotP(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Spark-style HALF_UP rounding at 6dp (matches round(x, 6)). */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Embedding-cosine near-duplicate pairs (brute-force block join).
     *
-    * Exact at this scale; the 100 TB path replaces the self-join with the
-    * LSH bucketing from [[Similarity.annTopK]] (same hyperplane signatures)
-    * so only same/adjacent-bucket pairs are compared.
+    * Exact at this scale; the 100 TB path is [[embeddingNearDupPairsDist]]
+    * — same output, no driver collect.
     */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     // Broadcast block-nested-loop: one side collected as primitive
@@ -211,20 +225,11 @@ object Dedup {
     // double accumulation, dot/(sqrt(na)*sqrt(nb)), then Spark-style
     // HALF_UP rounding at 6dp.
     //
-    // 100 TB path: this IS the broadcast side of a block join — when the
-    // corpus outgrows one broadcast block, tile it (iterate blocks) or
-    // pre-bucket with the hyperplane LSH from [[Similarity.annTopK]].
+    // Driver memory is O(n·d) — fine for a query-set-sized side, a
+    // scale-killer for a full corpus; [[embeddingNearDupPairsDist]] is the
+    // collect-free rendering of the same computation.
     val spark = emb.sparkSession
     import spark.implicits._
-    def dotP(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    def round6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
     val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
     val block = vecs.collect().sortBy(_._1)
@@ -252,7 +257,75 @@ object Dedup {
     }.toDF("a", "b", "cos_sim")
   }
 
+  /** Distributed exact embedding near-dup: triangle block-pair join — the
+    * 100 TB rendering of [[embeddingNearDupPairs]], byte-identical output,
+    * ZERO driver-side collection.
+    *
+    * Each vector lands in block `vec_id % B`; every unordered block pair
+    * (i,j), i <= j, becomes one shuffle group, and a vector is routed to
+    * the B groups it participates in. Inside a group a tight while-loop
+    * computes each pair's cosine exactly once (same-block groups take the
+    * id-ordered triangle; cross-block groups take the full bipartite
+    * rectangle, so no unordered pair is ever seen twice across groups).
+    *
+    * Scale accounting: shuffle volume is n·B rows (pick B ≈ sqrt(n·d·8 /
+    * executor-memory-budget) so a group's two blocks fit in one task's
+    * heap); compute is the unavoidable exact O(n²/2) dots, spread over
+    * B(B+1)/2 independent tasks — 1000 executors each take a slice, and
+    * the driver never sees a vector.
+    */
+  def embeddingNearDupPairsDist(emb: DataFrame, threshold: Double,
+      numBlocks: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val b = numBlocks
+    val routed = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, vF) =>
+        val v = vF.map(_.toDouble)
+        val blk = (id % b).toInt
+        (0 until b).map { o =>
+          val key = if (blk <= o) blk * b + o else o * b + blk
+          (key, blk, id, v)
+        }
+      }
+    routed.groupByKey(_._1).flatMapGroups { (key: Int, it: Iterator[(Int, Int, Long, Array[Double])]) =>
+      val i = key / b
+      val j = key % b
+      val rows = it.toArray.sortBy(_._3)
+      val norms = rows.map(r => math.sqrt(dotP(r._4, r._4)))
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var x = 0
+      while (x < rows.length) {
+        val (_, bx, idx, vx) = rows(x)
+        var y = x + 1
+        while (y < rows.length) {
+          val (_, by, idy, vy) = rows(y)
+          // same-block group: every id-ordered pair; cross-block group:
+          // only pairs spanning the two blocks (one endpoint each).
+          if (i == j || bx != by) {
+            val c = round6(dotP(vx, vy) / (norms(x) * norms(y)))
+            if (c >= threshold) out += ((idx, idy, c))
+          }
+          y += 1
+        }
+        x += 1
+      }
+      out.result()
+    }.toDF("a", "b", "cos_sim")
+  }
+
   // ---- declared queries -------------------------------------------------
+
+  // (defined before `queries` — object vals initialize in declaration order)
+  private val embeddingNearDupSql =
+    """SELECT a, b, cos_sim FROM (
+      |  SELECT x.vec_id AS a, y.vec_id AS b,
+      |         round(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
+      |           / (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])))
+      |            * sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])))), 6) AS cos_sim
+      |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id) p
+      |WHERE cos_sim >= 0.45 ORDER BY a, b""".stripMargin
 
   val queries: Seq[QueryDef] = Seq(
     // Q17 of SURVEY §2.C: exact content-dedup cardinality.
@@ -289,12 +362,14 @@ object Dedup {
     QueryDef(
       "x05_embedding_neardup",
       (s, dir) => embeddingNearDupPairs(Tables.embeddings(s, dir), 0.45).orderBy("a", "b"),
-      Some("""SELECT a, b, cos_sim FROM (
-             |  SELECT x.vec_id AS a, y.vec_id AS b,
-             |         round(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[]))
-             |           / (sqrt(list_dot_product(CAST(x.embedding AS DOUBLE[]), CAST(x.embedding AS DOUBLE[])))
-             |            * sqrt(list_dot_product(CAST(y.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])))), 6) AS cos_sim
-             |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id) p
-             |WHERE cos_sim >= 0.45 ORDER BY a, b""".stripMargin))
+      Some(embeddingNearDupSql)),
+
+    // Same exact output as x05 (identical arithmetic, distributed triangle
+    // block join, no driver collect) → shares x05's oracle, proving the
+    // scale path end-to-end the way x03 proves the LSH path against x02.
+    QueryDef(
+      "x39_embedding_neardup_dist",
+      (s, dir) => embeddingNearDupPairsDist(Tables.embeddings(s, dir), 0.45).orderBy("a", "b"),
+      Some(embeddingNearDupSql))
   )
 }

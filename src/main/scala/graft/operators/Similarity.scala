@@ -106,14 +106,16 @@ object Similarity {
     * and run a fixed number of Lloyd iterations with lowest-index
     * tie-breaks — identical across runs/JVMs.
     *
-    * Scale shape: training runs on a driver-side sample (the standard IVF
-    * recipe — at 100 TB you sample ~1M vectors, not the corpus); assignment
-    * is one narrow UDF pass; the cell id becomes the partition/bucket key
-    * so probes touch nprobe/nlist of the data. Cell assignment would be
-    * written once as a bucketed table in a real deployment.
+    * Scale shape: training runs on a driver-side sample of at most
+    * `maxTrain` vectors (the standard IVF recipe — at 100 TB you sample
+    * ~1M vectors, not the corpus); assignment is one narrow UDF pass; the
+    * cell id becomes the partition/bucket key so probes touch
+    * nprobe/nlist of the data. Cell assignment would be written once as a
+    * bucketed table in a real deployment.
     */
   def ivfTopK(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 5): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+      maxTrain: Int = 1024): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
 
@@ -133,8 +135,15 @@ object Similarity {
       best
     }
 
-    // --- train on a driver-side sample (whole table here; sample at scale)
+    // --- train on a DETERMINISTIC bounded sample, never the full table.
+    // step from a plain distributed count(); the `vec_id % step == 0`
+    // predicate is content-derived, so task retries resample identically
+    // (same retry-safety argument as Round2Queries.lcgPct) and the driver
+    // holds at most ~maxTrain vectors regardless of corpus size.
+    val n = emb.count()
+    val step = math.max(1L, (n + maxTrain - 1) / maxTrain)
     val sample = emb.select(col("vec_id"), col("embedding"))
+      .filter(pmod(col("vec_id"), lit(step)) === 0)
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val xs = sample.map(_._2.map(_.toDouble))
     var centroids = xs.take(nlist).map(_.clone())
@@ -155,9 +164,12 @@ object Similarity {
     val bc = spark.sparkContext.broadcast(centroids)
     val cellUdf = udf { (e: Seq[Double]) => nearest(bc.value, e.toArray) }
 
-    // --- probe: nprobe cells nearest to the query vector
-    val qVec = sample.find(_._1 == queryId)
-      .getOrElse(sys.error(s"query vec $queryId not found"))._2.map(_.toDouble)
+    // --- probe: nprobe cells nearest to the query vector (a single-row
+    // lookup — the query vector need not be in the training sample)
+    val qVec = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding")).as[Array[Float]]
+      .collect().headOption
+      .getOrElse(sys.error(s"query vec $queryId not found")).map(_.toDouble)
     val probed = centroids.indices
       .sortBy(c => (dotP(qVec, qVec) - 2 * dotP(qVec, centroids(c))
         + dotP(centroids(c), centroids(c)), c))

@@ -27,17 +27,24 @@ object Round2Queries {
     "SELECT *, epoch_us(ts) AS us FROM events"
 
   /** Deterministic 32-bit LCG over a bigint key — identical arithmetic in
-    * Spark and DuckDB (pure BIGINT ops, no overflow below 2^63), so a
-    * "random" sample is reproducible cross-engine AND cross-run. At 100 TB
-    * this is the only sampling that survives task retries: rand()-based
-    * sampling resamples on recompute (same failure class as a positional
-    * salt), a content-hash predicate does not.
+    * Spark and DuckDB, so a "random" sample is reproducible cross-engine
+    * AND cross-run. At 100 TB this is the only sampling that survives task
+    * retries: rand()-based sampling resamples on recompute (same failure
+    * class as a positional salt), a content-hash predicate does not.
+    *
+    * The key is reduced mod 2^31 BEFORE the multiply: the max intermediate
+    * is (2^31-1)*1103515245 + 12345 ≈ 2.4e18 < 2^63-1, so the arithmetic
+    * never overflows int64 for ANY bigint key. (An unreduced key overflows
+    * at key >= ~8.4e9 — exactly the 100 TB row-count regime — where DuckDB
+    * raises and non-ANSI Spark silently wraps: crash on one engine,
+    * divergent sample on the other.)
     */
   private def lcgPct(key: Column): Column =
-    ((key * lit(1103515245L) + lit(12345L)) % lit(2147483648L)) % lit(100)
+    (((key % lit(2147483648L)) * lit(1103515245L) + lit(12345L))
+      % lit(2147483648L)) % lit(100)
 
   private def lcgPctSql(key: String): String =
-    s"((($key * 1103515245 + 12345) % 2147483648) % 100)"
+    s"(((($key % 2147483648) * 1103515245 + 12345) % 2147483648) % 100)"
 
   val all: Seq[QueryDef] = Seq(
 
@@ -135,6 +142,10 @@ object Round2Queries {
     // stddev/corr stream doubles in partition order (nondeterministic at
     // scale); routing the moments through decimals makes the statistic
     // bit-stable under any partitioning — the same trick as QueryDef.dsum.
+    // Oracle-side inputs are DECIMAL(19,6), not 18: DuckDB multiplies
+    // DECIMAL(18) in int64 (l_extendedprice² overflows it); width >= 19
+    // forces HUGEINT arithmetic. Spark promotes the product to
+    // DECIMAL(37,12) on its own, so both engines sum exactly.
     QueryDef(
       "x34_moment_stats",
       (s, dir) => {
@@ -164,8 +175,8 @@ object Round2Queries {
              |         CAST(sum(q) AS DOUBLE) AS sx, CAST(sum(q * q) AS DOUBLE) AS sxx,
              |         CAST(sum(p) AS DOUBLE) AS sy, CAST(sum(p * p) AS DOUBLE) AS syy,
              |         CAST(sum(q * p) AS DOUBLE) AS sxy
-             |  FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,6)) AS q,
-             |               CAST(l_extendedprice AS DECIMAL(18,6)) AS p
+             |  FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(19,6)) AS q,
+             |               CAST(l_extendedprice AS DECIMAL(19,6)) AS p
              |        FROM lineitem) c GROUP BY 1) m
              |ORDER BY l_returnflag""".stripMargin)),
 
@@ -214,18 +225,23 @@ object Round2Queries {
              |FROM events ORDER BY event_id LIMIT 1000""".stripMargin)),
 
     // Top-20 bigram counts: n-gram frequency analysis (the 2-gram sibling
-    // of x02's 3-gram shingles, counted rather than joined). The bigram
-    // list is built positionally inside one projection — no self-join,
-    // no extra shuffle beyond the count.
+    // of x02's 3-gram shingles, counted rather than joined). The token
+    // array is projected ONCE, then paired with its own 1-shifted slice —
+    // `transform(sequence)(element_at(toks,...))` re-evaluated the
+    // split+filter per bigram when CollapseProject inlined it (4.4 s at
+    // sf0.1 → the r2 bench's slowest query); zip_with over two slices
+    // references `toks` from a materialized projection instead.
     QueryDef(
       "x38_bigrams",
       (s, dir) => {
-        val toks = filter(split(lower(col("text")), " "), (w: Column) => w =!= "")
+        val toks = col("toks")
         val bigrams = when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+          zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+            (a, b) => concat(a, lit(" "), b)))
           .otherwise(array())
         Tables.documents(s, dir)
+          .select(filter(split(lower(col("text")), " "),
+            (w: Column) => w =!= "").as("toks"))
           .select(explode(bigrams).as("bigram"))
           .groupBy("bigram").agg(count(lit(1)).as("c"))
           .orderBy(desc("c"), col("bigram"))

@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Round-3 additions: the fact-fact SortMergeJoin shape that dominates
+  * real warehouse workloads (TPC-H Q9's profit rollup), previously the one
+  * join plan the suite never exercised — every earlier join had a
+  * broadcastable small side.
+  *
+  * Reference tie-in: a async-pipes user renders this as a hand-rolled
+  * hash-join stage over two unbounded inputs
+  * (`/root/reference/src/pipeline/builder.rs:200-240` branching inputs);
+  * here it is a declarative 4-way join Catalyst plans as
+  * shuffle-sort-merge on the fact-fact edge plus broadcast on the dims.
+  */
+object Round3Queries {
+
+  /** Exact decimal revenue: l_extendedprice * (1 - l_discount).
+    *
+    * Type choreography keeps BOTH engines exact and in-range:
+    * discount is DECIMAL(7,6) (value in [0,1], <=3 digits), price
+    * DECIMAL(18,6); the product is DECIMAL(26..27,12) — HUGEINT storage in
+    * DuckDB, java BigDecimal in Spark — so the sums are exact and the final
+    * double cast is one deterministic rounding (same recipe as
+    * QueryDef.dsum, widened for the product). Keeping the discount side
+    * narrow matters: DECIMAL(19,6)*(DECIMAL(20,6)) would exceed DuckDB's
+    * 38-digit multiply width and error out.
+    */
+  private def revenue: Column =
+    col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1).cast("decimal(7,6)") - col("l_discount").cast("decimal(7,6)"))
+
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6)))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // TPC-H Q9 shape: profit by nation and order-year. The lineitem⋈orders
+    // edge is fact-fact (600k ⋈ 150k at sf0.1; neither side broadcastable
+    // at real scale) and carries an explicit merge hint so the plan is the
+    // one a 100 TB run would use: both facts hash-partitioned on orderkey,
+    // SortMergeJoin, THEN broadcast-hash dims (part/supplier/nation) on the
+    // already-joined stream. AQE can still demote to broadcast at toy SFs
+    // without the hint — pinning it keeps the benchmarked plan honest.
+    QueryDef(
+      "x40_q9_profit",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount")
+        val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+        li.hint("merge")
+          .join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.part(s, dir)
+              .filter(col("p_type").startsWith("STANDARD"))
+              .select("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables.supplier(s, dir)
+              .select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)
+              .select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          // The exact sum carries scale 12 from the product; narrowed to
+          // scale 4 (lossless — revenue has <= 4 decimal digits) so the
+          // decimal's integer representation stays below 2^53 and BOTH
+          // engines' decimal→double casts round identically. (At scale 12
+          // the representation is ~3.5e19 and DuckDB's conversion goes
+          // through an imprecise double divide — off-by-1e-9 vs Spark.)
+          .agg(sum(revenue).cast("decimal(28,4)").cast("double").as("profit"),
+            count(lit(1)).as("n_items"))
+          .orderBy("nation", "o_year")
+      },
+      Some(s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+              |       CAST(CAST(sum($revenueSql) AS DECIMAL(28,4)) AS DOUBLE) AS profit,
+              |       count(*) AS n_items
+              |FROM lineitem
+              |JOIN orders   ON l_orderkey = o_orderkey
+              |JOIN part     ON l_partkey = p_partkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation   ON s_nationkey = n_nationkey
+              |WHERE p_type LIKE 'STANDARD%'
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+}

@@ -170,6 +170,89 @@ object StreamingOps {
       .toDF("user_id", "version", "session_id", "n_events", "first_event", "dur_us")
   }
 
+  /** Production streaming sessionization: watermark + event-time TTL — the
+    * configuration [[sessionizeStream]]'s doc only described, as code.
+    *
+    * Semantics (same 30-min gap rule as batch x19): a session is CLOSED
+    * once the watermark passes its last event + gap — no in-flight event
+    * can extend it (late rows below the watermark are dropped by the
+    * engine). Closed sessions are emitted exactly once (Append mode) and
+    * their events leave the state store:
+    *  - on every data batch, leading closed sessions are flushed and only
+    *    the still-open tail is kept in state;
+    *  - a per-key event-time timeout at (last event + gap) fires once the
+    *    watermark passes it, flushing the remaining sessions and REMOVING
+    *    the key's state entirely.
+    *
+    * State per user is therefore bounded by the open session's events, not
+    * the stream's history — the property that makes this run forever on an
+    * unbounded source, where [[sessionizeStream]]'s NoTimeout twin (kept
+    * for drained-stream batch parity) grows without bound.
+    *
+    * @param events columns (user_id: Long, us: Long epoch-µs, event_id: Long)
+    */
+  def sessionizeStreamTtl(spark: SparkSession, events: DataFrame,
+      watermarkDelay: String = "0 seconds",
+      gapUs: Long = 1800000000L): DataFrame = {
+    import spark.implicits._
+    // `ts` must survive into the stateful operator's input — Spark ties
+    // the event-time-timeout watermark to a column of the child plan.
+    val withTs = events
+      .withColumn("ts", expr("timestamp_micros(us)"))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("us"), col("event_id"), col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+
+    // state = (nextSessionId, buffered (us, event_id) of still-open sessions)
+    def segments(evts: Seq[(Long, Long)]): Seq[Seq[(Long, Long)]] = {
+      val out = Seq.newBuilder[Seq[(Long, Long)]]
+      var cur = Seq.newBuilder[(Long, Long)]
+      var prevUs = Long.MinValue
+      var any = false
+      evts.foreach { e =>
+        if (any && e._1 - prevUs > gapUs) { out += cur.result(); cur = Seq.newBuilder }
+        cur += e; prevUs = e._1; any = true
+      }
+      if (any) out += cur.result()
+      out.result()
+    }
+    def emit(user: Long, firstId: Long, segs: Seq[Seq[(Long, Long)]])
+        : Seq[(Long, Long, Long, Long, Long)] =
+      segs.zipWithIndex.map { case (s, i) =>
+        (user, firstId + i, s.length.toLong,
+          s.map(_._2).min, s.last._1 - s.head._1)
+      }
+
+    withTs.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[(Long, Long)]), (Long, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+            state: GroupState[(Long, Seq[(Long, Long)])]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed (last event + gap): every buffered session
+            // is final. Flush them and drop the key from the state store.
+            val (nextId, buf) = state.get
+            state.remove()
+            emit(user, nextId, segments(buf)).iterator
+          } else {
+            val (nextId, buf) = state.getOption.getOrElse((1L, Seq.empty[(Long, Long)]))
+            val merged = (buf ++ batch.map(e => (e._2, e._3))).distinct.sorted
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            // A session is closed iff end + gap < watermark (an event AT
+            // end+gap would still extend it — the batch rule is gap > 30min
+            // starts a new session, mirroring x19's strict comparison).
+            val segs = segments(merged)
+            val (closed, open) = segs.span(s => s.last._1 + gapUs < wmUs)
+            state.update((nextId + closed.length, open.flatten))
+            // Arriving rows satisfy ts >= watermark, so last + gap is
+            // always a legal (future) timeout timestamp.
+            state.setTimeoutTimestamp(merged.last._1 / 1000L + gapUs / 1000L)
+            emit(user, nextId, closed).iterator
+          }
+      }
+      .toDF("user_id", "session_id", "n_events", "first_event", "dur_us")
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef(
       "x17_stream_tumbling",

@@ -53,6 +53,38 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.map(_.toSeq) == batch.map(_.toSeq))
   }
 
+  test("TTL sessionization: closed sessions are emitted once and evicted from state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val min = 60L * 1000000L // one minute in µs
+    val base = 1600000000000000L
+    val src = MemoryStream[(Long, Long, Long)]
+    val q = StreamingOps.sessionizeStreamTtl(spark,
+        src.toDS().toDF("user_id", "us", "event_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessionize_ttl_sink").start()
+    // user 1: events at 0 and 10min (session A), then 100min (B), 200min (C)
+    // user 2: one event at 0 (session D), nothing after
+    src.addData((1L, base, 101L), (1L, base + 10 * min, 102L), (2L, base, 201L))
+    q.processAllAvailable()
+    src.addData((1L, base + 100 * min, 103L))
+    q.processAllAvailable() // watermark → 100min: D times out (evicted)
+    src.addData((1L, base + 200 * min, 104L))
+    q.processAllAvailable() // watermark → 200min: A flushed, B+C still open
+    val emitted = spark.table("sessionize_ttl_sink")
+      .collect().map(_.toSeq).toSet
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .lastOption.map(_.numRowsTotal)
+    q.stop()
+    assert(emitted == Set(
+      Seq(2L, 1L, 1L, 201L, 0L),            // D: closed by timeout, state removed
+      Seq(1L, 1L, 2L, 101L, 10 * min)))     // A: flushed once watermark passed
+    // only user 1 (open sessions B, C) may remain in the state store
+    assert(stateRows.contains(1L))
+  }
+
   test("mapGroupsWithState running totals (stateful stage idiom)") {
     import spark.implicits._
     val input = Seq((1L, 2.0), (1L, 3.0), (2L, 10.0)).toDS()

@@ -74,6 +74,20 @@ def main():
         # The driver's hash gate is TYPE-sensitive (uncast DuckDB sum() ->
         # HUGEINT vs Spark BIGINT failed it in r01 while str()-canon passed),
         # so mirror that: column type names must match, not just values.
+        # Duplicate column names collapse in the DESCRIBE dict and would
+        # silently skip checks; spark-only columns would never be
+        # type-checked — fail loudly on both.
+        if len(otypes) != len(ocols) or len(stypes) != len(scols):
+            print(f"FAIL {name}: duplicate column names "
+                  f"duckdb={ocols} spark={scols}")
+            n_fail += 1
+            continue
+        extra = set(otypes) ^ set(stypes)
+        if extra:
+            print(f"FAIL {name}: column sets differ "
+                  f"(symmetric diff: {sorted(extra)})")
+            n_fail += 1
+            continue
         tdiff = {c: (otypes.get(c), stypes.get(c)) for c in otypes
                  if otypes.get(c) != stypes.get(c)}
         if tdiff:
