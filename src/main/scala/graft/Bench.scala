@@ -25,7 +25,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Optional comma-separated name filter — local isolation experiments
+    // only (the driver never sets it, so per-round numbers stay full-set).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     names.foreach(run) // warmup (JIT + codegen caches)
     // Two timed passes, per-query minimum: single-pass numbers showed up
     // to 6x noise on first post-warmup execution (GC/compilation stragglers).

@@ -315,6 +315,42 @@ object Dedup {
     }.toDF("a", "b", "cos_sim")
   }
 
+  /** Connected components over the near-dup pair graph — the cluster step
+    * a dedup pipeline runs after pair generation (keep one doc per
+    * component). Iterative min-label propagation: every node adopts the
+    * minimum label in its neighborhood until fixpoint; converges in
+    * O(graph diameter) rounds (near-dup components are cliques or short
+    * chains, so 2-3 rounds in practice).
+    *
+    * Scale: the per-round join/groupBy shuffle on node ids only over the
+    * docs that appear in SOME pair (a small fraction of the corpus);
+    * `localCheckpoint` cuts iteration lineage so round N's plan does not
+    * replay rounds 1..N-1. The driver sees only a 1-row convergence
+    * probe per round, never data.
+    */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val neigh = edges.join(labels, edges("b") === labels("node"))
+        .select(edges("a").as("node"), col("lbl"))
+      val updated = labels.unionByName(neigh)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      converged = updated.as("u")
+        .join(labels.as("l"), "node")
+        .filter(col("u.lbl") =!= col("l.lbl"))
+        .isEmpty
+      labels = updated
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   // ---- declared queries -------------------------------------------------
 
   // (defined before `queries` — object vals initialize in declaration order)
@@ -370,6 +406,24 @@ object Dedup {
     QueryDef(
       "x39_embedding_neardup_dist",
       (s, dir) => embeddingNearDupPairsDist(Tables.embeddings(s, dir), 0.45).orderBy("a", "b"),
-      Some(embeddingNearDupSql))
+      Some(embeddingNearDupSql)),
+
+    // Cluster formation over the LSH pairs (which provably equal the exact
+    // x02 pairs on this data) — the oracle recomputes the same components
+    // as a recursive-CTE transitive closure over the exact-Jaccard edges.
+    QueryDef(
+      "x43_dedup_clusters",
+      (s, dir) => dedupClusters(
+        minhashLshPairs(Tables.documents(s, dir), 0.8)).orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE
+              | p AS (${ngramJaccardPairsSql(0.8)}),
+              | edges AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+              | reach(src, dst) AS (
+              |   SELECT DISTINCT a AS src, a AS dst FROM edges
+              |   UNION
+              |   SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
+              | )
+              |SELECT src AS doc_id, min(dst) AS cluster_id
+              |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

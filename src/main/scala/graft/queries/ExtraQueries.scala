@@ -120,16 +120,23 @@ object ExtraQueries {
              |       CAST(len(json_keys(props)) AS BIGINT) AS n_keys
              |FROM events ORDER BY event_id LIMIT 1000""".stripMargin)),
 
-    // Approximate distinct (HLL++). Estimates are engine-specific → no
-    // cross-engine oracle; rows-only. The point at 100 TB: one pass, no
-    // shuffle of raw keys, fixed memory — this replaces q09 when exactness
-    // isn't required.
+    // Approximate distinct (HLL++). The raw estimate is engine-specific
+    // (no DuckDB rendering), but the CLAIM the estimator makes — within
+    // 10% of the exact count (default rsd = 5%, so 2σ) — is checkable:
+    // the query emits the exact count plus an in-bound boolean, and the
+    // oracle asserts `true`. An out-of-bound estimate hash-mismatches the
+    // gate instead of hiding behind a rows-only check. The point at
+    // 100 TB: one pass, no shuffle of raw keys, fixed memory — this
+    // replaces q09 when exactness isn't required.
     QueryDef(
       "x16_approx_distinct",
       (s, dir) =>
         Tables.orders(s, dir).agg(
           approx_count_distinct(col("o_custkey")).as("approx_cd"),
-          countDistinct(col("o_custkey")).as("exact_cd")),
-      None)
+          countDistinct(col("o_custkey")).as("exact_cd"))
+          .select(col("exact_cd"),
+            (abs(col("approx_cd") - col("exact_cd"))
+              <= col("exact_cd") * lit(0.1)).as("within_10pct")),
+      Some("SELECT count(DISTINCT o_custkey) AS exact_cd, true AS within_10pct FROM orders"))
   )
 }

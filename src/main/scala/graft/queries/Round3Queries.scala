@@ -84,6 +84,88 @@ object Round3Queries {
               |JOIN supplier ON l_suppkey = s_suppkey
               |JOIN nation   ON s_nationkey = n_nationkey
               |WHERE p_type LIKE 'STANDARD%'
-              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // TF-IDF keyword extraction, integer-exact: each document's single most
+    // characteristic term, ranked by (tf DESC, df ASC, term ASC) — the
+    // tf-idf ordering for any monotone idf, expressed on the raw integers
+    // so the cross-engine hash never touches a transcendental (ln differs
+    // by an ulp between libm and the JVM). (No df-stopword cutoff: this
+    // corpus's 31-term vocabulary has near-uniform df, so a cutoff either
+    // keeps everything or drops whole documents; df ASC in the ranking is
+    // what does the idf work.) Scale: tf is one shuffle on (doc, term),
+    // df one on term, ranking a WindowGroupLimit-pruned row_number — no
+    // O(corpus) state anywhere.
+    QueryDef(
+      "x41_top_tfidf_term",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir).select(col("doc_id"),
+          explode(filter(split(lower(col("text")), " "),
+            (w: Column) => w =!= "")).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+        tf.join(dfreq, "term")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("doc_id", "term", "tf", "df")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, term, tf, df FROM (
+             |  SELECT doc_id, term, tf, df,
+             |         row_number() OVER (PARTITION BY doc_id
+             |                            ORDER BY tf DESC, df ASC, term ASC) AS rn
+             |  FROM (
+             |    SELECT doc_id, term, count(*) AS tf,
+             |           CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+             |    FROM (
+             |      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+             |                                        x -> x <> '')) AS term
+             |      FROM documents) tk
+             |    GROUP BY 1, 2) tfd) ranked
+             |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Repetition-based quality gate (the Gopher-style "top 2-gram ratio"
+    // filter): a document whose most frequent bigram exceeds 20% of its
+    // bigrams is boilerplate/spam-shaped. Integer arithmetic end-to-end
+    // (top*5 > total ⇔ ratio > 0.2) — no float in the gate. Scale: one
+    // shuffle on (doc, bigram), one on doc; both keys well-distributed.
+    QueryDef(
+      "x42_bigram_repetition",
+      (s, dir) => {
+        val toks = col("toks")
+        val bigrams = when(size(toks) >= 2,
+          zip_with(slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array())
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            filter(split(lower(col("text")), " "),
+              (w: Column) => w =!= "").as("toks"))
+          .select(col("doc_id"), explode(bigrams).as("bigram"))
+          .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("total"))
+          .select(col("doc_id"), col("top_cnt"), col("total"),
+            (col("top_cnt") * 5 > col("total")).as("repetitive"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, top_cnt, total, top_cnt * 5 > total AS repetitive
+             |FROM (
+             |  SELECT doc_id, max(c) AS top_cnt, CAST(sum(c) AS BIGINT) AS total
+             |  FROM (
+             |    SELECT doc_id, bigram, count(*) AS c FROM (
+             |      SELECT doc_id,
+             |             unnest(list_transform(generate_series(1, len(toks) - 1),
+             |                                   j -> toks[j] || ' ' || toks[j + 1])) AS bigram
+             |      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+             |                                       x -> x <> '') AS toks
+             |            FROM documents) t) b
+             |    GROUP BY 1, 2) g
+             |  GROUP BY 1) agg
+             |ORDER BY doc_id""".stripMargin))
   )
 }

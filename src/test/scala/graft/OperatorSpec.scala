@@ -69,6 +69,25 @@ class OperatorSpec extends SparkSuite {
     assert(out == Seq((1L, 2L, 0)))
   }
 
+  test("distributed embedding near-dup equals the broadcast block-join path") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val bc = Dedup.embeddingNearDupPairs(emb, 0.45)
+      .orderBy("a", "b").collect().toSeq
+    val dist = Dedup.embeddingNearDupPairsDist(emb, 0.45)
+      .orderBy("a", "b").collect().toSeq
+    assert(bc.nonEmpty, "threshold 0.45 should yield pairs at sf0.001")
+    assert(dist == bc)
+  }
+
+  test("dedup clusters: chain transitivity and component separation") {
+    import spark.implicits._
+    // chain 1-2-3 (1 and 3 never share an edge) plus disjoint pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.dedupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
   test("ann top-k: query vector itself is rank 1 with cos 1.0; recall >= 7/10") {
     val emb = Tables.embeddings(spark, sfDir)
     val exact = Similarity.cosineTopK(emb, 0L, 10)
