@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.QueryDef.{dsum, dsumSql}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -166,6 +167,90 @@ object Round3Queries {
              |            FROM documents) t) b
              |    GROUP BY 1, 2) g
              |  GROUP BY 1) agg
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Unpivot (wide→long, the inverse of x32's pivot): three lineitem
+    // measures melted into (metric, val) rows, then aggregated per metric.
+    // Decimal sums use scale 2 (lossless — source doubles carry <= 2dp)
+    // so the total's integer representation stays below 2^53 for a
+    // faithful double cast in both engines. Scale: the unpivot is a
+    // narrow 3× row expansion fused into the scan projection — no shuffle
+    // before the partial aggregate.
+    QueryDef(
+      "x45_unpivot",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select("l_quantity", "l_extendedprice", "l_discount")
+          .unpivot(Array.empty[Column],
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+            "metric", "val")
+          .groupBy("metric")
+          .agg(dsum(col("val"), 2).as("total"), count(lit(1)).as("cnt"))
+          .orderBy("metric"),
+      Some(s"""SELECT metric, ${dsumSql("val", 2)} AS total, count(*) AS cnt
+              |FROM (
+              |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+              |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+              |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem) u
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Full-outer join: per-user high-value click counts vs high-value
+    // error counts — users with only one activity kind survive on either
+    // side, keys coalesce, counts default to 0. The one outer-join shape
+    // the suite lacked (q10-13 cover inner/semi/anti; x20/x21 cover
+    // asof/range). The value>95 cut makes the strata sparse enough that
+    // one-sided users genuinely exist at every SF (every user has every
+    // event type unfiltered, which would degenerate to an inner join).
+    QueryDef(
+      "x46_full_outer",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(col("value") > 95)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id").as("cu")).agg(count(lit(1)).as("clicks"))
+        val errors = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id").as("eu")).agg(count(lit(1)).as("errors"))
+        clicks.join(errors, col("cu") === col("eu"), "full_outer")
+          .select(coalesce(col("cu"), col("eu")).as("user_id"),
+            coalesce(col("clicks"), lit(0L)).as("clicks"),
+            coalesce(col("errors"), lit(0L)).as("errors"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT COALESCE(c.cu, e.eu) AS user_id,
+             |       COALESCE(c.clicks, 0) AS clicks,
+             |       COALESCE(e.errors, 0) AS errors
+             |FROM (SELECT user_id AS cu, count(*) AS clicks FROM events
+             |      WHERE event_type = 'click' AND value > 95 GROUP BY 1) c
+             |FULL OUTER JOIN
+             |     (SELECT user_id AS eu, count(*) AS errors FROM events
+             |      WHERE event_type = 'error' AND value > 95 GROUP BY 1) e
+             |  ON c.cu = e.eu
+             |ORDER BY user_id""".stripMargin)),
+
+    // Analytic rank family: percent_rank / cume_dist / ntile over a
+    // deterministic total order (value, event_id — no ties, so both
+    // engines' rank semantics coincide and the emitted ratios are single
+    // exact divisions of small integers). Limited to the first 1000
+    // events for a bounded gate; the window itself runs over all rows.
+    QueryDef(
+      "x47_window_ranks",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+          .orderBy(col("value").asc, col("event_id").asc)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy("event_id")
+          .limit(1000)
+      },
+      Some("""SELECT event_id, event_type,
+             |       percent_rank() OVER w AS pr,
+             |       cume_dist()    OVER w AS cd,
+             |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+             |ORDER BY event_id LIMIT 1000""".stripMargin))
   )
 }

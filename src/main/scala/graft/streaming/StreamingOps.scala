@@ -28,9 +28,20 @@ object StreamingOps {
     * cluster is incremental — the state store holds one row per open
     * (window, event_type); watermark bounds state growth.
     */
-  def tumblingHourly(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
-    // Explicit raw schema (ts = nanos long) — same session-independent
-    // trick as Tables.events; streaming sources require a schema anyway.
+  /** File-source stream over the events parquet, staged into 4 files so
+    * maxFilesPerTrigger=1 yields genuinely incremental microbatches.
+    *
+    * The file source requires a *directory* (testdata itself is
+    * read-only); the staging key folds in the source's total size + max
+    * mtime, so a regenerated events.parquet at the same path (or a
+    * hashCode collision between dataset paths) gets a fresh staging dir
+    * instead of silently replaying stale data against a fresh batch twin.
+    * Write goes to a temp dir then an atomic rename, so a concurrent
+    * stager can never expose a half-written directory. Schema is explicit
+    * (ts = raw nanos long) — same session-independent trick as
+    * `Tables.events`; streaming sources require a schema anyway.
+    */
+  private def stagedEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val fileSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
@@ -38,17 +49,6 @@ object StreamingOps {
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    // The file source requires a *directory*; stage the events split into
-    // 4 files (testdata itself is read-only) so maxFilesPerTrigger=1 makes
-    // the aggregation genuinely incremental: 4 microbatches updating state,
-    // not one batch in a trench coat.
-    //
-    // The staging key folds in the source's total size + max mtime, so a
-    // regenerated events.parquet at the same path (or a hashCode collision
-    // between dataset paths) gets a fresh staging dir instead of silently
-    // replaying stale data against a fresh batch twin. Write goes to a
-    // temp dir then an atomic rename, so a concurrent stager can never
-    // expose a half-written directory.
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val srcPath = Paths.get(dir, "events.parquet")
@@ -78,10 +78,14 @@ object StreamingOps {
             .iterator().asScala.foreach(Files.delete)
       }
     }
-    val raw = spark.readStream
+    spark.readStream
       .schema(fileSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged.toString)
+  }
+
+  def tumblingHourly(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
+    val raw = stagedEventsStream(spark, dir)
     // Watermarks require TIMESTAMP (not NTZ) — keep TimestampType inside
     // the stream (session tz is UTC so wall-clock matches); the window
     // output is already the TimestampType the batch q15 emits.
@@ -105,6 +109,33 @@ object StreamingOps {
       // output type exactly (session tz UTC keeps wall-clock identical).
       .select(col("window.start").as("w"), col("event_type"), col("c"), col("s"))
       .orderBy("w", "event_type")
+  }
+
+  /** Streaming exact deduplication: `dropDuplicates` over the staged
+    * incremental file source — each (user_id, event_type) key is emitted
+    * on first sight across microbatches and suppressed thereafter, so a
+    * fully drained stream equals batch DISTINCT (the oracle).
+    *
+    * Scale: state is one entry per distinct key. For unbounded keyspaces
+    * production bounds it with `dropDuplicatesWithinWatermark` (dedup
+    * within the lateness horizon only) — the exact variant here is the
+    * right call when the distinct keyspace is itself cluster-sized (e.g.
+    * dedup by content hash in an LLM corpus pipeline, where the survivor
+    * set IS the product).
+    */
+  def streamingDedup(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
+    spark.catalog.dropTempView(sinkName)
+    val q = stagedEventsStream(spark, dir)
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName).orderBy("user_id", "event_type")
   }
 
   /** Per-key running sum as a custom stateful stage (the reference's
@@ -259,6 +290,12 @@ object StreamingOps {
       (s, dir) => tumblingHourly(s, dir, "x17_stream_tumbling_sink"),
       Some(s"""SELECT date_trunc('hour', ts) AS w, event_type,
               |       count(*) AS c, round(${dsumSql("value")}, 2) AS s
-              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      "x44_stream_dedup",
+      (s, dir) => streamingDedup(s, dir, "x44_stream_dedup_sink"),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin))
   )
 }
