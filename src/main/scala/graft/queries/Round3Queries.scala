@@ -251,6 +251,57 @@ object Round3Queries {
              |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
              |FROM events
              |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
-             |ORDER BY event_id LIMIT 1000""".stripMargin))
+             |ORDER BY event_id LIMIT 1000""".stripMargin)),
+
+    // Sliding (hopping) windows: 1-hour windows every 30 minutes — each
+    // event lands in exactly 2 windows. Spark's window() handles the
+    // assignment natively; the oracle materializes the same two windows
+    // per event as a UNION ALL of the aligned and the -30min-shifted
+    // truncation. Same plan runs incrementally under Structured Streaming
+    // (x17 is the tumbling special case). Counts only — integer-exact.
+    QueryDef(
+      "x48_sliding_window",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(expr("CAST(ts AS TIMESTAMP)"), "1 hour", "30 minutes").as("w"),
+            col("event_type"))
+          .agg(count(lit(1)).as("c"))
+          .select(expr("unix_micros(w.start)").as("start_us"),
+            col("event_type"), col("c"))
+          .orderBy("start_us", "event_type"),
+      Some("""SELECT epoch_us(ws) AS start_us, event_type, count(*) AS c
+             |FROM (
+             |  SELECT date_trunc('hour', ts)
+             |           + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+             |                  ELSE INTERVAL 0 MINUTE END AS ws,
+             |         event_type FROM events
+             |  UNION ALL
+             |  SELECT date_trunc('hour', ts)
+             |           + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+             |                  ELSE INTERVAL 0 MINUTE END - INTERVAL 30 MINUTE AS ws,
+             |         event_type FROM events) sw
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Approximate per-group quantile with a verified error bound — the
+    // x16 pattern applied to percentile_approx: the query emits the exact
+    // interpolated median (both engines agree on quantile_cont) plus a
+    // boolean asserting the sketch's answer lands within the exact p40-p60
+    // band; the oracle asserts `true`. An out-of-band sketch hash-fails
+    // the gate instead of hiding behind a rows-only check.
+    QueryDef(
+      "x49_approx_quantile",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("apx"),
+            expr("percentile(value, 0.5)").as("exact_med"),
+            expr("percentile(value, 0.4)").as("p40"),
+            expr("percentile(value, 0.6)").as("p60"))
+          .select(col("event_type"), col("exact_med"),
+            (col("apx") >= col("p40") && col("apx") <= col("p60")).as("within_band"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, quantile_cont(value, 0.5) AS exact_med,
+             |       true AS within_band
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
