@@ -82,6 +82,48 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame_bytes", "frame_md5")
   }
 
+  /** Feature extraction over a binary payload: a dense 16-bin byte
+    * histogram per document (the shape of any per-media feature vector —
+    * color histogram, MFCC bucket counts — with the codec stubbed to raw
+    * bytes). Tight per-partition loop, no shuffle; the feature column is
+    * a fixed-width array ready for the similarity operators.
+    */
+  def byteHistogram(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1; i += 1 }
+        (id, hist)
+      })
+      .toDF("doc_id", "hist")
+  }
+
+  /** Resize / downsample stub: keep every `stride`-th byte of the payload
+    * (a real resizer interpolates pixels; the stubbed kernel is
+    * nearest-neighbor over raw bytes, which keeps the output exactly
+    * computable by the oracle). Narrow map, no shuffle; output payload is
+    * 1/stride the size — the storage win a real thumbnail pass buys.
+    */
+  def resizePayload(spark: SparkSession, docs: DataFrame,
+      stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val n = (bytes.length + stride - 1) / stride
+        val out = new Array[Byte](n)
+        var i = 0
+        while (i < n) { out(i) = bytes(i * stride); i += 1 }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val fp = md.digest(out).map("%02x".format(_)).mkString
+        (id, out.length.toLong, fp)
+      })
+      .toDF("doc_id", "resized_bytes", "resized_md5")
+  }
+
   // ---- declared queries -------------------------------------------------
 
   val queries: Seq[QueryDef] = Seq(
@@ -112,6 +154,37 @@ object Multimodal {
              |  FROM (SELECT doc_id, text,
              |               unnest(generate_series(0, CAST((length(text) - 1) // 128 AS BIGINT))) AS frame_idx
              |        FROM documents) g) t
-             |ORDER BY doc_id, frame_idx""".stripMargin))
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Byte-histogram features: text is pure ASCII (see x22), so ord() per
+    // char in DuckDB sees the same bytes the Spark loop buckets; dense
+    // bins come from a generate_series cross join (bins 8-15 are zero for
+    // ASCII but the vector width is fixed).
+    QueryDef(
+      "x50_byte_histogram",
+      (s, dir) => byteHistogram(s, Tables.documents(s, dir)).orderBy("doc_id"),
+      Some("""SELECT d.doc_id, list(COALESCE(b.cnt, 0) ORDER BY gs.bin) AS hist
+             |FROM documents d
+             |CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) gs
+             |LEFT JOIN (
+             |  SELECT doc_id, ord(c) // 16 AS bin, count(*) AS cnt
+             |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+             |        FROM documents) ch
+             |  GROUP BY 1, 2) b
+             |  ON b.doc_id = d.doc_id AND b.bin = gs.bin
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      "x51_resize",
+      (s, dir) => resizePayload(s, Tables.documents(s, dir)).orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(length(r) AS BIGINT) AS resized_bytes,
+             |       md5(r) AS resized_md5
+             |FROM (
+             |  SELECT doc_id, string_agg(substr(text, j, 1), '' ORDER BY j) AS r
+             |  FROM (SELECT doc_id, text,
+             |               unnest(generate_series(1, length(text), 4)) AS j
+             |        FROM documents) g
+             |  GROUP BY 1) t
+             |ORDER BY doc_id""".stripMargin))
   )
 }
