@@ -91,6 +91,28 @@ object Dedup {
        |  GROUP BY 1, 2) p
        |WHERE jaccard >= $threshold ORDER BY a, b""".stripMargin
 
+  /** Oracle-side rendering of [[ngramJaccardPairs]] WITH the
+    * document-frequency skew cap: shingles appearing in more than `cap`
+    * docs are dropped before the join on BOTH the pair counts and the
+    * sizes (capped Jaccard over the retained shingle space — numerator
+    * and denominator agree, see [[ngramJaccardPairs]]).
+    */
+  def ngramJaccardPairsCappedSql(threshold: Double, cap: Long): String =
+    s"""WITH capped AS (
+       |  SELECT s.doc_id, s.shingle FROM (${TextOps.shinglesSql}) s
+       |  JOIN (SELECT shingle FROM (${TextOps.shinglesSql}) d
+       |        GROUP BY 1 HAVING count(*) <= $cap) keep
+       |    ON s.shingle = keep.shingle),
+       | sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1)
+       |SELECT a, b, jaccard FROM (
+       |  SELECT x.doc_id AS a, y.doc_id AS b,
+       |         round(count(*) / (any_value(sa.n) + any_value(sb.n) - count(*)), 6) AS jaccard
+       |  FROM capped x JOIN capped y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  JOIN sizes sa ON x.doc_id = sa.doc_id
+       |  JOIN sizes sb ON y.doc_id = sb.doc_id
+       |  GROUP BY 1, 2) p
+       |WHERE jaccard >= $threshold ORDER BY a, b""".stripMargin
+
   /** MinHash signatures + banded LSH candidates + exact verification.
     *
     * numPerm minhashes from xxhash64(permIndex, shingle); bands of `rows`
@@ -388,6 +410,17 @@ object Dedup {
       "x03_minhash_lsh",
       (s, dir) => minhashLshPairs(Tables.documents(s, dir), 0.8).orderBy("a", "b"),
       Some(ngramJaccardPairsSql(0.8))),
+
+    // The DF-cap skew guard as a VERIFIED query: the oracle applies the
+    // identical cap, so the "drop boilerplate shingles before the
+    // inverted-index join" mitigation — the thing that keeps x02's plan
+    // alive at 100 TB — is itself hash-gated, not just spec'd. Cap 5
+    // genuinely bites at every SF (max shingle df is 9/7/25).
+    QueryDef(
+      "x52_ngram_jaccard_capped",
+      (s, dir) => ngramJaccardPairs(Tables.documents(s, dir), 0.8,
+        maxDocFreq = Some(5L)).orderBy("a", "b"),
+      Some(ngramJaccardPairsCappedSql(0.8, 5L))),
 
     // xxhash64-based SimHash has no DuckDB equivalent → rows-only check.
     QueryDef(

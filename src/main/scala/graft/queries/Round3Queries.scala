@@ -302,6 +302,53 @@ object Round3Queries {
           .orderBy("event_type"),
       Some("""SELECT event_type, quantile_cont(value, 0.5) AS exact_med,
              |       true AS within_band
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // regexp_extract_all: pull every digit run out of the raw props
+    // payload as an array column (the extraction sibling of x37's
+    // redaction — together they are the scrub/harvest pair a PII pass
+    // needs). Codegen'd regex per row, no shuffle before the limit.
+    QueryDef(
+      "x53_regex_extract",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)).as("nums"),
+            size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+              .cast("long").as("n_nums"))
+          .orderBy("event_id")
+          .limit(1000),
+      Some("""SELECT event_id, regexp_extract_all(props, '[0-9]+') AS nums,
+             |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums
+             |FROM events ORDER BY event_id LIMIT 1000""".stripMargin)),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): a label
+    // dimension where the NULL key row legitimately matches NULL-keyed
+    // facts — the semantics a plain equi-join silently drops. Spark plans
+    // the <=> predicate as a hashable EqualNullSafe key, so this stays a
+    // real hash join, not a cartesian filter.
+    QueryDef(
+      "x54_nullsafe_join",
+      (s, dir) => {
+        import s.implicits._
+        val dim = Seq(
+          (Option("click"), "interaction"), (Option("view"), "interaction"),
+          (Option("purchase"), "conversion"), (Option("signup"), "conversion"),
+          (Option.empty[String], "failure")).toDF("et_dim", "label")
+        Tables.events(s, dir)
+          .withColumn("et",
+            when(col("event_type") === "error", lit(null)).otherwise(col("event_type")))
+          .join(dim, col("et") <=> col("et_dim"))
+          .groupBy("label").agg(count(lit(1)).as("c"))
+          .orderBy("label")
+      },
+      Some("""SELECT label, count(*) AS c
+             |FROM (SELECT CASE WHEN event_type = 'error' THEN NULL
+             |             ELSE event_type END AS et FROM events) e
+             |JOIN (VALUES ('click', 'interaction'), ('view', 'interaction'),
+             |             ('purchase', 'conversion'), ('signup', 'conversion'),
+             |             (NULL, 'failure')) d(et_dim, label)
+             |  ON e.et IS NOT DISTINCT FROM d.et_dim
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
