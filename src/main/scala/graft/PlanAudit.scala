@@ -60,6 +60,10 @@ object PlanAudit {
       p => "BroadcastHashJoin".r.findAllIn(p).length >= 3)
     check("x40_q9_profit", "p_type filter pushed to part scan",
       _.contains("StringStartsWith(p_type,STANDARD)"))
+    check("x55_asof_native", "custom AsofJoinExec physical operator",
+      _.contains("AsofJoin"))
+    check("x55_asof_native", "both sides hash-partitioned on the key",
+      p => "hashpartitioning\\(user_id".r.findAllIn(p).length >= 2)
 
     println(if (failed == 0) "ALL PLAN CHECKS OK" else s"$failed CHECKS FAILED")
     spark.stop()

@@ -148,6 +148,30 @@ object AdvancedQueries {
               |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase
               |FROM ($eventsUsSql) e ORDER BY event_id""".stripMargin)),
 
+    // The SAME as-of semantics through the native tier-(c) operator
+    // (graft.plans.AsofJoin: custom LogicalPlan + Strategy + SparkPlan,
+    // hash-partitioned merge pass) — sharing x20's oracle proves the
+    // custom physical operator end-to-end against DuckDB, the way x03
+    // proves LSH against x02.
+    QueryDef(
+      "x55_asof_native",
+      (s, dir) => {
+        val ev = eventsUs(s, dir).select("user_id", "us", "event_id")
+        val purchases = eventsUs(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select("user_id", "us", "event_id")
+        graft.plans.AsofJoin(ev, purchases,
+            key = "user_id", time = "us", tie = "event_id",
+            value = "event_id", outName = "prev_purchase")
+          .select("event_id", "prev_purchase")
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id,
+              |       last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+              |         OVER (PARTITION BY user_id ORDER BY us, event_id
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase
+              |FROM ($eventsUsSql) e ORDER BY event_id""".stripMargin)),
+
     // Range join: events follow-up count — how many events the same user
     // generates in the hour after each event. Equality on user_id keeps the
     // join hash-partitioned; the range predicate filters inside each
