@@ -41,7 +41,15 @@ object StreamingOps {
     * (ts = raw nanos long) — same session-independent trick as
     * `Tables.events`; streaming sources require a schema anyway.
     */
-  private def stagedEventsStream(spark: SparkSession, dir: String): DataFrame = {
+  /** @param byTime stage the 4 files RANGE-partitioned on ts instead of
+    *   round-robin, so microbatches arrive in chronological order — the
+    *   shape a real stream has. Required by watermarked stream-stream
+    *   joins: with time-random files, batch 1 contains the stream's
+    *   latest timestamps, the watermark jumps to the end, and every
+    *   subsequent row is dropped as late.
+    */
+  private def stagedEventsStream(spark: SparkSession, dir: String,
+      byTime: Boolean = false): DataFrame = {
     val fileSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
@@ -62,14 +70,33 @@ object StreamingOps {
     val srcBytes = srcFiles.map(Files.size).sum
     val srcMtime = srcFiles.map(Files.getLastModifiedTime(_).toMillis).foldLeft(0L)(math.max)
     val stageKey = java.lang.Long.toHexString(
-      java.util.Objects.hash(dir, srcBytes, srcMtime).toLong & 0xffffffffL)
+      java.util.Objects.hash(dir, srcBytes, srcMtime).toLong & 0xffffffffL) +
+      (if (byTime) "_t" else "")
     val staged = Paths.get(sys.props("java.io.tmpdir"), s"graft_stream_$stageKey")
     if (!Files.isDirectory(staged)) {
       val tmp = Paths.get(
         staged.toString + s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-      spark.read.schema(fileSchema).parquet(srcPath.toString)
-        .repartition(4)
+      val src = spark.read.schema(fileSchema).parquet(srcPath.toString)
+      (if (byTime)
+        src.repartitionByRange(4, org.apache.spark.sql.functions.col("ts"))
+      else src.repartition(4))
         .write.mode("overwrite").parquet(tmp.toString)
+      if (byTime) {
+        // The file source replays files in MODIFICATION-TIME order, and
+        // the 4 parallel write tasks finish in arbitrary order — pin
+        // distinct ascending mtimes along the path order (which IS the
+        // range order for repartitionByRange output) so the staged
+        // stream actually arrives chronologically.
+        val parts = {
+          val s = Files.list(tmp)
+          try s.iterator().asScala.filter(_.getFileName.toString.startsWith("part-"))
+            .toVector.sortBy(_.getFileName.toString) finally s.close()
+        }
+        parts.zipWithIndex.foreach { case (p, i) =>
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(srcMtime + i * 1000L))
+        }
+      }
       try Files.move(tmp, staged, StandardCopyOption.ATOMIC_MOVE)
       catch {
         // Lost the race to a concurrent stager — its (identical) copy wins.
@@ -136,6 +163,43 @@ object StreamingOps {
     q.processAllAvailable()
     q.stop()
     spark.table(sinkName).orderBy("user_id", "event_type")
+  }
+
+  /** Stream-stream inner join: clicks joined to same-user purchases that
+    * land within 30 minutes after the click — two independent incremental
+    * sources, watermarks on both sides, and a time-range join condition,
+    * which is exactly what lets the engine BOUND the join state: a
+    * buffered click can be dropped once the purchase-side watermark
+    * passes click-time + 30 min, and vice versa. A drained stream equals
+    * the batch join (the oracle). This is the reference's two-unbounded-
+    * inputs branching join (`with_branching_inputs`) rendered the Spark
+    * way.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
+    def side(tag: String) = stagedEventsStream(spark, dir, byTime = true)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .select(col("user_id").as(s"${tag}_uid"),
+        col("event_id").as(s"${tag}_id"),
+        col("ts").as(s"${tag}_ts"),
+        col("event_type").as(s"${tag}_type"))
+    val clicks = side("c").filter(col("c_type") === "click")
+      .withWatermark("c_ts", "1 hour")
+    val purchases = side("p").filter(col("p_type") === "purchase")
+      .withWatermark("p_ts", "1 hour")
+    spark.catalog.dropTempView(sinkName)
+    val q = clicks.join(purchases,
+        col("c_uid") === col("p_uid") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_id").as("click_id"), col("p_id").as("purchase_id"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName).orderBy("click_id", "purchase_id")
   }
 
   /** Per-key running sum as a custom stateful stage (the reference's
@@ -296,6 +360,16 @@ object StreamingOps {
       "x44_stream_dedup",
       (s, dir) => streamingDedup(s, dir, "x44_stream_dedup_sink"),
       Some("""SELECT DISTINCT user_id, event_type FROM events
-             |ORDER BY user_id, event_type""".stripMargin))
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    QueryDef(
+      "x56_stream_join",
+      (s, dir) => streamStreamJoin(s, dir, "x56_stream_join_sink"),
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + 1800000000
+             |ORDER BY click_id, purchase_id""".stripMargin))
   )
 }
