@@ -48,6 +48,20 @@ object StreamingOps {
     *   latest timestamps, the watermark jumps to the end, and every
     *   subsequent row is dropped as late.
     */
+  /** Run `body` with spark.sql.shuffle.partitions temporarily set to `n`,
+    * restoring the previous value after. For the streaming queries this
+    * is the production state-store sizing knob: each stateful operator
+    * keeps one state store PER shuffle partition PER microbatch, so a
+    * 32-partition default pays 32 store commits per batch for keyspaces
+    * that fit comfortably in 8 — size the partition count to the state
+    * cardinality, not the CPU count.
+    */
+  private def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def stagedEventsStream(spark: SparkSession, dir: String,
       byTime: Boolean = false): DataFrame = {
     val fileSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -69,17 +83,20 @@ object StreamingOps {
       }
     val srcBytes = srcFiles.map(Files.size).sum
     val srcMtime = srcFiles.map(Files.getLastModifiedTime(_).toMillis).foldLeft(0L)(math.max)
+    // Time-ordered staging uses 2 files: cross-batch matching is still
+    // exercised (2+ microbatches) at half the per-batch state-commit cost.
+    val nFiles = if (byTime) 2 else 4
     val stageKey = java.lang.Long.toHexString(
       java.util.Objects.hash(dir, srcBytes, srcMtime).toLong & 0xffffffffL) +
-      (if (byTime) "_t" else "")
+      (if (byTime) s"_t$nFiles" else "")
     val staged = Paths.get(sys.props("java.io.tmpdir"), s"graft_stream_$stageKey")
     if (!Files.isDirectory(staged)) {
       val tmp = Paths.get(
         staged.toString + s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       val src = spark.read.schema(fileSchema).parquet(srcPath.toString)
       (if (byTime)
-        src.repartitionByRange(4, org.apache.spark.sql.functions.col("ts"))
-      else src.repartition(4))
+        src.repartitionByRange(nFiles, org.apache.spark.sql.functions.col("ts"))
+      else src.repartition(nFiles))
         .write.mode("overwrite").parquet(tmp.toString)
       if (byTime) {
         // The file source replays files in MODIFICATION-TIME order, and
@@ -111,7 +128,8 @@ object StreamingOps {
       .parquet(staged.toString)
   }
 
-  def tumblingHourly(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
+  def tumblingHourly(spark: SparkSession, dir: String, sinkName: String): DataFrame =
+    withShufflePartitions(spark, 8) {
     val raw = stagedEventsStream(spark, dir)
     // Watermarks require TIMESTAMP (not NTZ) — keep TimestampType inside
     // the stream (session tz is UTC so wall-clock matches); the window
@@ -150,20 +168,21 @@ object StreamingOps {
     * dedup by content hash in an LLM corpus pipeline, where the survivor
     * set IS the product).
     */
-  def streamingDedup(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
-    spark.catalog.dropTempView(sinkName)
-    val q = stagedEventsStream(spark, dir)
-      .select("user_id", "event_type")
-      .dropDuplicates("user_id", "event_type")
-      .writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(sinkName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(sinkName).orderBy("user_id", "event_type")
-  }
+  def streamingDedup(spark: SparkSession, dir: String, sinkName: String): DataFrame =
+    withShufflePartitions(spark, 8) {
+      spark.catalog.dropTempView(sinkName)
+      val q = stagedEventsStream(spark, dir)
+        .select("user_id", "event_type")
+        .dropDuplicates("user_id", "event_type")
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(sinkName).orderBy("user_id", "event_type")
+    }
 
   /** Stream-stream inner join: clicks joined to same-user purchases that
     * land within 30 minutes after the click — two independent incremental
@@ -175,32 +194,33 @@ object StreamingOps {
     * inputs branching join (`with_branching_inputs`) rendered the Spark
     * way.
     */
-  def streamStreamJoin(spark: SparkSession, dir: String, sinkName: String): DataFrame = {
-    def side(tag: String) = stagedEventsStream(spark, dir, byTime = true)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      .select(col("user_id").as(s"${tag}_uid"),
-        col("event_id").as(s"${tag}_id"),
-        col("ts").as(s"${tag}_ts"),
-        col("event_type").as(s"${tag}_type"))
-    val clicks = side("c").filter(col("c_type") === "click")
-      .withWatermark("c_ts", "1 hour")
-    val purchases = side("p").filter(col("p_type") === "purchase")
-      .withWatermark("p_ts", "1 hour")
-    spark.catalog.dropTempView(sinkName)
-    val q = clicks.join(purchases,
-        col("c_uid") === col("p_uid") &&
-          col("p_ts") >= col("c_ts") &&
-          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
-      .select(col("c_id").as("click_id"), col("p_id").as("purchase_id"))
-      .writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(sinkName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(sinkName).orderBy("click_id", "purchase_id")
-  }
+  def streamStreamJoin(spark: SparkSession, dir: String, sinkName: String): DataFrame =
+    withShufflePartitions(spark, 8) {
+      def side(tag: String) = stagedEventsStream(spark, dir, byTime = true)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .select(col("user_id").as(s"${tag}_uid"),
+          col("event_id").as(s"${tag}_id"),
+          col("ts").as(s"${tag}_ts"),
+          col("event_type").as(s"${tag}_type"))
+      val clicks = side("c").filter(col("c_type") === "click")
+        .withWatermark("c_ts", "1 hour")
+      val purchases = side("p").filter(col("p_type") === "purchase")
+        .withWatermark("p_ts", "1 hour")
+      spark.catalog.dropTempView(sinkName)
+      val q = clicks.join(purchases,
+          col("c_uid") === col("p_uid") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("c_id").as("click_id"), col("p_id").as("purchase_id"))
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(sinkName).orderBy("click_id", "purchase_id")
+    }
 
   /** Per-key running sum as a custom stateful stage (the reference's
     * `Arc<Mutex>` running-sum idiom, `/root/reference/src/lib.rs:161-185`,
