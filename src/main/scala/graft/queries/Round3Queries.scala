@@ -349,6 +349,81 @@ object Round3Queries {
              |             ('purchase', 'conversion'), ('signup', 'conversion'),
              |             (NULL, 'failure')) d(et_dim, label)
              |  ON e.et IS NOT DISTINCT FROM d.et_dim
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Bounded sliding window frame (ROWS 3 PRECEDING): per-user moving
+    // average over the last 4 events. The moving SUM runs on exact
+    // decimals (frame content is deterministic, but double accumulation
+    // order inside a frame is not guaranteed identical across engines);
+    // the average is then ONE double division on both sides. q14 covers
+    // the unbounded cumulative frame; this covers the bounded one.
+    QueryDef(
+      "x57_moving_avg",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(-3, 0)
+        Tables.events(s, dir)
+          .withColumn("us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+          .select(col("event_id"),
+            (sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
+              / count(lit(1)).over(w)).as("mavg"))
+          .orderBy("event_id")
+          .limit(1000)
+      },
+      Some("""SELECT event_id,
+             |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             |         / count(*) OVER w AS mavg
+             |FROM (SELECT *, epoch_us(ts) AS us FROM events) e
+             |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id LIMIT 1000""".stripMargin)),
+
+    // Array aggregation: the distinct-set-per-group rendering
+    // (collect_set + sort for determinism). x28 covers array SCALAR
+    // functions; this covers building arrays BY aggregation.
+    QueryDef(
+      "x58_array_agg",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("user_id") < 100)
+          .groupBy("user_id")
+          .agg(sort_array(collect_set(col("event_type"))).as("types"),
+            count(lit(1)).as("n"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id, list_sort(list_distinct(list(event_type))) AS types,
+             |       count(*) AS n
+             |FROM events WHERE user_id < 100
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // The textual SQL entry point: the same engine surface through
+    // spark.sql(...) over registered temp views (TPC-H Q4 shape) —
+    // proving the library's tables and determinism recipes compose with
+    // the SQL API, not just the DataFrame DSL.
+    QueryDef(
+      "x59_sql_api",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+        Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem")
+        s.sql("""SELECT o_orderpriority, count(*) AS n_orders
+                |FROM g_orders
+                |WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+                |  AND o_orderdate <  TIMESTAMP_NTZ '1996-04-01 00:00:00'
+                |  AND EXISTS (SELECT 1 FROM g_lineitem
+                |              WHERE l_orderkey = o_orderkey
+                |                AND l_shipdate > o_orderdate)
+                |GROUP BY o_orderpriority
+                |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }
