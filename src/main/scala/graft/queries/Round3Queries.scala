@@ -424,6 +424,53 @@ object Round3Queries {
              |              WHERE l_orderkey = o_orderkey
              |                AND l_shipdate > o_orderdate)
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Temporal scalar family: extract/diff/truncate arithmetic on order
+    // dates — all integer-exact (year/quarter/month/day-of-week ints,
+    // datediff in whole days), so the hash gate is immune to interval
+    // semantics. Spark's dayofweek is 1=Sunday; DuckDB's dayofweek is
+    // 0=Sunday — aligned via (dow % 7) + 1 on the DuckDB side.
+    QueryDef(
+      "x60_date_funcs",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("y"),
+            quarter(col("o_orderdate")).cast("long").as("q"),
+            month(col("o_orderdate")).cast("long").as("m"),
+            dayofweek(col("o_orderdate")).cast("long").as("dow"),
+            datediff(lit("1998-01-01").cast("date"),
+              col("o_orderdate").cast("date")).cast("long").as("days_to_98"))
+          .orderBy("o_orderkey")
+          .limit(1000),
+      Some("""SELECT o_orderkey,
+             |       year(o_orderdate) AS y,
+             |       quarter(o_orderdate) AS q,
+             |       month(o_orderdate) AS m,
+             |       CAST((dayofweek(o_orderdate) % 7) + 1 AS BIGINT) AS dow,
+             |       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98
+             |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin)),
+
+    // Correlated scalar subquery: each order's most expensive line item.
+    // Catalyst decorrelates the subquery into an aggregate + join — the
+    // rewrite that makes per-row subqueries viable at scale (a naive
+    // per-row execution would be O(orders × lineitem)).
+    QueryDef(
+      "x61_corr_subquery",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_orders2")
+        Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem2")
+        s.sql("""SELECT o_orderkey,
+                |       (SELECT max(l_extendedprice) FROM g_lineitem2
+                |        WHERE l_orderkey = o_orderkey) AS max_price
+                |FROM g_orders2
+                |ORDER BY o_orderkey LIMIT 1000""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |       (SELECT max(l_extendedprice) FROM lineitem
+             |        WHERE l_orderkey = o_orderkey) AS max_price
+             |FROM orders
+             |ORDER BY o_orderkey LIMIT 1000""".stripMargin))
   )
 }
