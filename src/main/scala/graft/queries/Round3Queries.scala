@@ -471,6 +471,32 @@ object Round3Queries {
              |       (SELECT max(l_extendedprice) FROM lineitem
              |        WHERE l_orderkey = o_orderkey) AS max_price
              |FROM orders
-             |ORDER BY o_orderkey LIMIT 1000""".stripMargin))
+             |ORDER BY o_orderkey LIMIT 1000""".stripMargin)),
+
+    // Latest-record-per-key compaction (the CDC/upsert dedup shape: keep
+    // each key's most recent row). row_number over (key ORDER BY time
+    // DESC) = 1 — Spark prunes per-partition with WindowGroupLimit before
+    // the shuffle, so the reducer sees one candidate per key per map
+    // partition, not the full history. THE standard warehouse compaction
+    // at any scale.
+    QueryDef(
+      "x62_latest_per_key",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type")
+          .orderBy(col("us").desc, col("event_id").desc)
+        Tables.events(s, dir)
+          .withColumn("us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_type", "event_id", "us")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id, us FROM (
+             |  SELECT user_id, event_type, event_id, us,
+             |         row_number() OVER (PARTITION BY user_id, event_type
+             |                            ORDER BY us DESC, event_id DESC) AS rn
+             |  FROM (SELECT *, epoch_us(ts) AS us FROM events) e) ranked
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
   )
 }
