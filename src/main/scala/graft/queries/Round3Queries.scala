@@ -497,6 +497,25 @@ object Round3Queries {
              |         row_number() OVER (PARTITION BY user_id, event_type
              |                            ORDER BY us DESC, event_id DESC) AS rn
              |  FROM (SELECT *, epoch_us(ts) AS us FROM events) e) ranked
-             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    // Frequent-items sketch (Misra-Gries via stat.freqItems) with the
+    // x16/x49 verified-bound pattern: every event type carries ~20%
+    // frequency, far above the 10% support, so the sketch's guarantee
+    // (freq > support ⇒ included) makes "all exact distinct types appear
+    // in the sketch result" a hard invariant the oracle asserts. The
+    // single sketch row crossing the driver is an aggregate, not data.
+    QueryDef(
+      "x63_freq_items",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val sketch = ev.stat.freqItems(Array("event_type"), 0.1)
+          .collect()(0).getSeq[String](0)
+        ev.select(col("event_type").as("t")).distinct()
+          .select(col("t"),
+            array_contains(typedLit(sketch), col("t")).as("in_sketch"))
+          .orderBy("t")
+      },
+      Some("SELECT DISTINCT event_type AS t, true AS in_sketch FROM events ORDER BY 1"))
   )
 }
