@@ -18,6 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * composition of the SAME semantics, and shares its oracle with the
   * declared query over this plan).
   *
+  * Reference tie-in: a async-pipes user renders "most recent prior
+  * observation" as a stateful stage holding the running last value per
+  * key behind a mutex (`/root/reference/src/lib.rs:161-185`); here the
+  * same semantics are a declarative plan node the optimizer can place,
+  * co-partition, and reuse exchanges around.
+  *
   * Semantics: for every left row, the value of the LAST right row with the
   * same key that falls STRICTLY before it in ((time, tie)) lexicographic
   * order — null if no such row. This matches the reference-style "most

@@ -85,6 +85,37 @@ class StreamingSpec extends SparkSuite {
     assert(stateRows.contains(1L))
   }
 
+  test("PipeGraph carries an unbounded streaming producer end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    // The reference's infinite producer ("simply never returning None")
+    // through the SAME PipeGraph API as batch: producer emits a streaming
+    // DataFrame, stages are ordinary transforms, the consumer attaches
+    // the streaming sink and drains (Pipeline::wait ≡ processAllAvailable).
+    val src = MemoryStream[(Long, String)]
+    val g = graft.pipeline.PipeGraph.builder
+      .producer("events")(_ => src.toDS().toDF("id", "kind"))
+      .stage("events", "counted") { df =>
+        df.filter(col("kind") =!= "skip").groupBy("kind").count()
+      }
+      .consumer("counted") { df =>
+        val q = df.writeStream.outputMode("complete")
+          .format("memory").queryName("pg_stream_sink").start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      .build()
+      .fold(err => throw new IllegalStateException(err), g => g)
+    src.addData((1L, "a"), (2L, "b"), (3L, "skip"), (4L, "a"))
+    g.run(spark)
+    val out = spark.table("pg_stream_sink")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("mapGroupsWithState running totals (stateful stage idiom)") {
     import spark.implicits._
     val input = Seq((1L, 2.0), (1L, 3.0), (2L, 10.0)).toDS()
