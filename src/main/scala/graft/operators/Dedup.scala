@@ -359,16 +359,20 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     while (!converged) {
+      // One aggregation carries both the new label (min over self +
+      // neighborhood) and the previous label (min over the self rows
+      // only), so convergence is a cheap filter on the checkpointed
+      // result instead of a second join per round.
       val neigh = edges.join(labels, edges("b") === labels("node"))
-        .select(edges("a").as("node"), col("lbl"))
-      val updated = labels.unionByName(neigh)
-        .groupBy("node").agg(min("lbl").as("lbl"))
+        .select(edges("a").as("node"), col("lbl"), lit(false).as("self"))
+      val updated = labels.withColumn("self", lit(true))
+        .unionByName(neigh)
+        .groupBy("node")
+        .agg(min("lbl").as("lbl"),
+          min(when(col("self"), col("lbl"))).as("prev"))
         .localCheckpoint()
-      converged = updated.as("u")
-        .join(labels.as("l"), "node")
-        .filter(col("u.lbl") =!= col("l.lbl"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(col("lbl") =!= col("prev")).isEmpty
+      labels = updated.select("node", "lbl")
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }
