@@ -180,6 +180,14 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, chunks: Int = 8): DataFrame = {
     require(maxHamming < chunks, "banded search needs chunks > maxHamming")
+    // Fingerprint fold kept as collect_list + UDF deliberately — a
+    // declarative twin (64 per-bit conditional sums, map-side combinable,
+    // zero UDF) was built and MEASURED SLOWER at sf0.1 (2.9 s vs 2.4 s
+    // isolated): 64 codegen'd aggregate expressions per token row cost
+    // more CPU than shuffling each doc's hash array once. On a cluster
+    // whose docs are huge (arrays larger than 64 longs) the declarative
+    // twin wins on shuffle volume — revisit then; at this shape the
+    // measured plan stays.
     val simhashUdf = udf { (hashes: Seq[Long]) =>
       val acc = new Array[Int](64)
       hashes.foreach { h =>
