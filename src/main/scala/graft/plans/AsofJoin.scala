@@ -4,10 +4,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow,
-  JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+  And, Ascending, Attribute, AttributeReference, AttributeSet,
+  GenericInternalRow, JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -51,6 +52,29 @@ case class AsofJoinNode(
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
     copy(left = newLeft, right = newRight)
+}
+
+/** Injected optimizer rule: push deterministic left-side predicates
+  * BELOW the as-of join. Catalyst's own PushDownPredicates cannot see
+  * through an unknown node, so without this rule `asof.filter(p)` scans
+  * and joins everything and filters last; with it, a left-only predicate
+  * lands adjacent to the left relation, where FileSourceStrategy turns
+  * it into a parquet PushedFilter at physical planning. Sound because a
+  * left row's match depends only on the right side — dropping left rows
+  * never changes another row's result. (Right-side pushdown is NOT sound:
+  * right rows filtered out could have been some left row's match.)
+  */
+object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, aj: AsofJoinNode) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(pushable.reduce(And), aj.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
 }
 
 /** Planner rule: lower the logical node to its physical operator. */
@@ -173,6 +197,9 @@ object AsofJoin {
     if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsofJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsofJoin
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =

@@ -50,6 +50,28 @@ class AsofJoinSpec extends SparkSuite {
     assert(native == windowed)
   }
 
+  test("injected rule pushes left-side filters through the join into the scan") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+      .select("user_id", "us", "event_id")
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+      .select("user_id", "us", "event_id")
+    val full = AsofJoin(ev, purchases, "user_id", "us", "event_id",
+      "event_id", "prev_purchase")
+    val filtered = full.filter(col("user_id") < 10)
+    val rows = filtered.collect()
+    // correctness: pre-join filtering must equal post-join filtering
+    val expected = full.collect().filter(_.getLong(0) < 10)
+    assert(rows.sortBy(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      expected.sortBy(r => (r.getLong(0), r.getLong(2))).toSeq)
+    // plan: the predicate reached the left parquet scan as a PushedFilter
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(user_id,10)"), plan.take(800))
+  }
+
   test("physical plan: AsofJoinExec with both children hash-partitioned") {
     val df = SparkEntry.queries("x55_asof_native")(spark, sfDir)
     df.collect()
