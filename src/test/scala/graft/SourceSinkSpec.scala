@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Source/sink coverage (SURVEY §2.B scans/sinks row): csv and json
-  * roundtrips, and a partitioned parquet sink whose reads partition-prune.
+/** Source/sink coverage (SURVEY §2.B scans/sinks row): csv, json, orc,
+  * and text roundtrips, and a partitioned parquet sink whose reads
+  * partition-prune. (No spark-avro connector ships in this Spark distro,
+  * so avro is out of scope.)
   */
 class SourceSinkSpec extends SparkSuite {
 
@@ -34,6 +36,28 @@ class SourceSinkSpec extends SparkSuite {
       .option("timestampNTZFormat", fmt).json(path)
     assert(back.orderBy("event_id").collect().toSeq ==
       ev.orderBy("event_id").collect().toSeq)
+  }
+
+  test("orc sink + source roundtrip preserves events with predicate pushdown") {
+    val ev = Tables.events(spark, sfDir)
+    val path = tmp("events_orc")
+    ev.write.orc(path)
+    val back = spark.read.orc(path)
+    assert(back.orderBy("event_id").collect().toSeq ==
+      ev.orderBy("event_id").collect().toSeq)
+    // ORC scans support the same filter pushdown as parquet
+    val df = back.filter(col("user_id") < 10)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("LessThan(user_id,10)"))
+  }
+
+  test("text sink + source roundtrip preserves raw document lines") {
+    val docs = Tables.documents(spark, sfDir).select("text")
+    val path = tmp("docs_text")
+    docs.write.text(path)
+    val back = spark.read.text(path).withColumnRenamed("value", "text")
+    assert(back.orderBy("text").collect().toSeq ==
+      docs.orderBy("text").collect().toSeq)
   }
 
   test("partitioned parquet sink: reads prune partitions") {
