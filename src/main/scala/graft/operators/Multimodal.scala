@@ -160,10 +160,19 @@ object Multimodal {
     // char in DuckDB sees the same bytes the Spark loop buckets; dense
     // bins come from a generate_series cross join (bins 8-15 are zero for
     // ASCII but the vector width is fixed).
+    // The declared query stringifies the histogram (array_join /
+    // array_to_string) because the driver's pandas harness cannot sort
+    // ARRAY-typed result columns; byteHistogram itself still returns the
+    // dense array<long> feature vector for downstream similarity use.
     QueryDef(
       "x50_byte_histogram",
-      (s, dir) => byteHistogram(s, Tables.documents(s, dir)).orderBy("doc_id"),
-      Some("""SELECT d.doc_id, list(COALESCE(b.cnt, 0) ORDER BY gs.bin) AS hist
+      (s, dir) => byteHistogram(s, Tables.documents(s, dir))
+        .select(col("doc_id"),
+          expr("array_join(transform(hist, x -> CAST(x AS STRING)), ',')")
+            .as("hist"))
+        .orderBy("doc_id"),
+      Some("""SELECT d.doc_id,
+             |       array_to_string(list(COALESCE(b.cnt, 0) ORDER BY gs.bin), ',') AS hist
              |FROM documents d
              |CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) gs
              |LEFT JOIN (

@@ -313,12 +313,16 @@ object Round3Queries {
       (s, dir) =>
         Tables.events(s, dir)
           .select(col("event_id"),
-            regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)).as("nums"),
+            // Stringified (array_join) because the driver's pandas harness
+            // cannot sort ARRAY-typed result columns.
+            array_join(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)),
+              ",").as("nums"),
             size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
               .cast("long").as("n_nums"))
           .orderBy("event_id")
           .limit(1000),
-      Some("""SELECT event_id, regexp_extract_all(props, '[0-9]+') AS nums,
+      Some("""SELECT event_id,
+             |       array_to_string(regexp_extract_all(props, '[0-9]+'), ',') AS nums,
              |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_nums
              |FROM events ORDER BY event_id LIMIT 1000""".stripMargin)),
 
@@ -389,10 +393,15 @@ object Round3Queries {
         Tables.events(s, dir)
           .filter(col("user_id") < 100)
           .groupBy("user_id")
-          .agg(sort_array(collect_set(col("event_type"))).as("types"),
+          // Stringified (array_join) because the driver's pandas harness
+          // cannot sort ARRAY-typed result columns; the aggregation itself
+          // is still collect_set + sort_array.
+          .agg(array_join(sort_array(collect_set(col("event_type"))), ",")
+              .as("types"),
             count(lit(1)).as("n"))
           .orderBy("user_id"),
-      Some("""SELECT user_id, list_sort(list_distinct(list(event_type))) AS types,
+      Some("""SELECT user_id,
+             |       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
              |       count(*) AS n
              |FROM events WHERE user_id < 100
              |GROUP BY 1 ORDER BY 1""".stripMargin)),

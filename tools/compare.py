@@ -94,6 +94,19 @@ def main():
             print(f"FAIL {name}: type mismatch (duckdb, spark): {tdiff}")
             n_fail += 1
             continue
+        # The DRIVER's pandas harness crashes on ARRAY/STRUCT/MAP-typed
+        # result columns (sort_values -> unhashable numpy.ndarray), so any
+        # nested output type is a guaranteed red row there even though this
+        # script's canon_value handles lists. Fail here so the local gate is
+        # never weaker than the driver's (r3 shipped 3 red rows this way):
+        # stringify with array_join/to_json on BOTH sides instead.
+        nested = {c: t for c, t in {**otypes, **stypes}.items()
+                  if "[]" in t or t.startswith(("STRUCT", "MAP", "UNION"))}
+        if nested:
+            print(f"FAIL {name}: nested result column(s) {nested} — the "
+                  f"driver's pandas gate cannot sort these; stringify them")
+            n_fail += 1
+            continue
         oc, orws = canon(ocols, orows)
         sc, srws = canon(scols, srows)
         if oc != sc:
