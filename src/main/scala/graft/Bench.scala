@@ -22,7 +22,15 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries that localCheckpoint() intermediates (shingle index, label
+      // propagation) leave persisted RDD blocks behind; across 83 queries
+      // x 3 passes those accumulate into storage-memory pressure that slows
+      // LATER runs of the same queries (x02 measured 2.0s isolated vs 5.5s
+      // in-suite in r3). Dropping leftovers after each query makes every
+      // measurement start from the same clean block-manager state.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      dt
     }
 
     // Optional comma-separated name filter — local isolation experiments
@@ -44,7 +52,16 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver tail-captures stdout and r3's capture truncated mid-JSON
+    // (shutdown logging raced the final line). Belt and braces: persist the
+    // full JSON to a file, print it once before stop, and re-print it as
+    // the absolute last line after stop when no logger can interleave.
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
+    println(json)
   }
 }
