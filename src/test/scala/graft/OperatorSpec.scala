@@ -79,6 +79,24 @@ class OperatorSpec extends SparkSuite {
     assert(dist == bc)
   }
 
+  test("near-dup auto-switch honors autoBroadcastJoinThreshold on both sides") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val expected = Dedup.embeddingNearDupPairs(emb, 0.45)
+      .orderBy("a", "b").collect().toSeq
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      // side fits the default threshold → broadcast branch
+      spark.conf.set(key, "10MB")
+      assert(Dedup.embeddingNearDupPairsAuto(emb, 0.45)
+        .orderBy("a", "b").collect().toSeq == expected)
+      // broadcast disabled → distributed branch, same answer
+      spark.conf.set(key, "-1")
+      assert(Dedup.embeddingNearDupPairsAuto(emb, 0.45)
+        .orderBy("a", "b").collect().toSeq == expected)
+    } finally spark.conf.set(key, saved)
+  }
+
   test("dedup clusters: chain transitivity and component separation") {
     import spark.implicits._
     // chain 1-2-3 (1 and 3 never share an edge) plus disjoint pair 10-11
