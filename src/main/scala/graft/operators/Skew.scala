@@ -27,8 +27,28 @@ object Skew {
     case _ => true
   }
 
-  def saltedAgg(df: DataFrame, key: Column, value: Column,
+  /** A decomposable aggregate for [[saltedAggs]]: one that splits into a
+    * per-salt partial and an exact merge (sum/count/min/max directly;
+    * avg as merged-sum / merged-count). Non-decomposable aggregates
+    * (median, collect_set) cannot be salted this way — use approx
+    * sketches or dedicated operators for those.
+    */
+  sealed trait SaltedSpec { def out: String }
+  final case class SaltedSum(value: Column, out: String) extends SaltedSpec
+  final case class SaltedCount(out: String) extends SaltedSpec
+  final case class SaltedMin(value: Column, out: String) extends SaltedSpec
+  final case class SaltedMax(value: Column, out: String) extends SaltedSpec
+  final case class SaltedAvg(value: Column, out: String) extends SaltedSpec
+
+  /** Two-phase salted aggregation over an arbitrary list of decomposable
+    * aggregates: phase 1 groups on (key, salt) — spreading a hot key over
+    * `salts` reducers — phase 2 merges the per-salt partials per key.
+    * Sums (and avg numerators) accumulate in exact decimals so the salted
+    * result is bit-identical to the unsalted plan, not merely close.
+    */
+  def saltedAggs(df: DataFrame, key: Column, aggs: Seq[SaltedSpec],
       salts: Int = 32, saltCols: Seq[Column] = Nil): DataFrame = {
+    require(aggs.nonEmpty, "saltedAggs: need at least one aggregate")
     // The salt must be DETERMINISTIC per row: a positional salt
     // (monotonically_increasing_id, spark_partition_id) changes on stage
     // retry after a shuffle-fetch failure, so recomputed map tasks re-salt
@@ -43,11 +63,36 @@ object Skew {
       if (saltCols.nonEmpty) saltCols
       else df.schema.fields.toSeq
         .filter(f => hashable(f.dataType)).map(f => col(f.name))
-    require(inputs.nonEmpty, "saltedAgg: no hashable columns to derive a salt from")
+    require(inputs.nonEmpty, "saltedAggs: no hashable columns to derive a salt from")
     val salt = pmod(xxhash64(inputs: _*), lit(salts))
-    val salted = df.groupBy(key.as("k"), salt.as("salt"))
-      .agg(sum(value.cast(DecimalType(18, 6))).as("psum"), count(lit(1)).as("pcnt"))
-    salted.groupBy("k")
-      .agg(sum(col("psum")).cast("double").as("total"), sum(col("pcnt")).as("cnt"))
+
+    val partials: Seq[Column] = aggs.zipWithIndex.flatMap {
+      case (SaltedSum(v, _), i) =>
+        Seq(sum(v.cast(DecimalType(18, 6))).as(s"_p$i"))
+      case (SaltedCount(_), i) => Seq(count(lit(1)).as(s"_p$i"))
+      case (SaltedMin(v, _), i) => Seq(min(v).as(s"_p$i"))
+      case (SaltedMax(v, _), i) => Seq(max(v).as(s"_p$i"))
+      case (SaltedAvg(v, _), i) =>
+        Seq(sum(v.cast(DecimalType(18, 6))).as(s"_p${i}s"),
+          count(lit(1)).as(s"_p${i}c"))
+    }
+    val merges: Seq[Column] = aggs.zipWithIndex.map {
+      case (SaltedSum(_, out), i) => sum(col(s"_p$i")).cast("double").as(out)
+      case (SaltedCount(out), i) => sum(col(s"_p$i")).as(out)
+      case (SaltedMin(_, out), i) => min(col(s"_p$i")).as(out)
+      case (SaltedMax(_, out), i) => max(col(s"_p$i")).as(out)
+      case (SaltedAvg(_, out), i) =>
+        (sum(col(s"_p${i}s")).cast("double") / sum(col(s"_p${i}c"))).as(out)
+    }
+    df.groupBy(key.as("k"), salt.as("salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy("k")
+      .agg(merges.head, merges.tail: _*)
   }
+
+  /** The common sum+count case (kept as the x35 query surface). */
+  def saltedAgg(df: DataFrame, key: Column, value: Column,
+      salts: Int = 32, saltCols: Seq[Column] = Nil): DataFrame =
+    saltedAggs(df, key,
+      Seq(SaltedSum(value, "total"), SaltedCount("cnt")), salts, saltCols)
 }

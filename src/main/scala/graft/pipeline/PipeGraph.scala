@@ -38,10 +38,16 @@ object PipeGraph {
 
   /** R15 `WorkerOptions` analog: concurrency knobs per stage.
     * `ordered` ≈ `default_single_task()` (sequential FIFO);
-    * `maxParallelism` ≈ `max_task_count` (caps concurrent tasks).
+    * `maxParallelism` ≈ `max_task_count` (caps concurrent tasks);
+    * `maxBatchFiles` ≈ `pipe_buffer_size` (`mod.rs:25,52-55`) — the
+    * backpressure bound on how much an unbounded producer may push into
+    * one microbatch, mapped to the streaming source's `maxFilesPerTrigger`
+    * (see `StreamingOps.eventsStream`; a rate/offset source would map it
+    * to `maxOffsetsPerTrigger` the same way).
     */
   final case class PipeOptions(
-      ordered: Boolean = false, maxParallelism: Option[Int] = None) {
+      ordered: Boolean = false, maxParallelism: Option[Int] = None,
+      maxBatchFiles: Option[Int] = None) {
     private[pipeline] def apply(df: DataFrame): DataFrame =
       if (ordered) df.coalesce(1)
       else maxParallelism.map(df.coalesce).getOrElse(df)
@@ -134,6 +140,19 @@ object PipeGraph {
     def flattener(in: String, out: String, column: String): Builder =
       add(Transform(in, Seq(out),
         df => Seq(df.withColumn(column, explode(df(column))))))
+
+    /** R8 `with_flattener`, generic form: the reference flattens any
+      * `IntoIterator` VALUE (`builder.rs:336-364`), not just a named
+      * array column — the typed analog is a pipe of `Seq[T]` rows
+      * flattened to a pipe of `T` rows (`Dataset[Seq[T]] → Dataset[T]`).
+      * Lowered as the same generator (explode) the column form uses, so
+      * it stays a narrow codegen'd operator, not a lambda flatMap.
+      */
+    def flattenerSeq[T](in: String, out: String)(
+        implicit enc: org.apache.spark.sql.Encoder[T],
+        seqEnc: org.apache.spark.sql.Encoder[Seq[T]]): Builder =
+      add(Transform(in, Seq(out),
+        df => Seq(df.as[Seq[T]](seqEnc).flatMap(identity)(enc).toDF())))
 
     /** R7 `with_consumer`: terminal sink. */
     def consumer(pipe: String)(sink: DataFrame => Unit): Builder =

@@ -63,7 +63,7 @@ object StreamingOps {
   }
 
   private def stagedEventsStream(spark: SparkSession, dir: String,
-      byTime: Boolean = false): DataFrame = {
+      byTime: Boolean = false, maxFilesPerTrigger: Int = 1): DataFrame = {
     val fileSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
@@ -124,9 +124,27 @@ object StreamingOps {
     }
     spark.readStream
       .schema(fileSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(staged.toString)
   }
+
+  /** R3 unbounded producer + R15 backpressure as a PUBLIC streaming-source
+    * pipe: `opts.maxBatchFiles` is the DSL's `pipe_buffer_size` analog
+    * (`/root/reference/src/pipeline/mod.rs:25,52-55` — bounds how much the
+    * producer stuffs into one batch before downstream consumes), mapped to
+    * the file source's `maxFilesPerTrigger`. Unset means engine-default
+    * batching (all available files per trigger), exactly like the
+    * reference's unbounded default.
+    */
+  def eventsStream(spark: SparkSession, dir: String,
+      opts: graft.pipeline.PipeGraph.PipeOptions =
+        graft.pipeline.PipeGraph.PipeOptions()): DataFrame =
+    opts.maxBatchFiles match {
+      case Some(n) => stagedEventsStream(spark, dir, maxFilesPerTrigger = n)
+      case None =>
+        // no bound: read the staged dir without a per-trigger cap
+        stagedEventsStream(spark, dir, maxFilesPerTrigger = Int.MaxValue)
+    }
 
   def tumblingHourly(spark: SparkSession, dir: String, sinkName: String): DataFrame =
     withShufflePartitions(spark, 8) {

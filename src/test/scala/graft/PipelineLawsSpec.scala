@@ -34,6 +34,21 @@ class PipelineLawsSpec extends SparkSuite {
     }
   }
 
+  test("law: flattenerSeq ∘ wrap ≡ identity through the DSL (R8 generic form)") {
+    import graft.pipeline.PipeGraph
+    samples.foreach { xs =>
+      import spark.implicits._
+      var seen: Seq[Int] = Nil
+      val g = PipeGraph.builder
+        .inputs("wrapped", s => { import s.implicits._; Seq(xs.toSeq).toDS().toDF() })
+        .flattenerSeq[Int]("wrapped", "flat")
+        .consumer("flat")(df => seen = df.as[Int].collect().toSeq)
+        .build().fold(e => fail(e), identity)
+      g.run(spark)
+      assert(seen.sorted == xs.sorted)
+    }
+  }
+
   test("law: union is commutative on bags (R10)") {
     samples.zip(samples.reverse).foreach { case (xs, ys) =>
       import spark.implicits._

@@ -26,6 +26,28 @@ class SkewSpec extends SparkSuite {
     assert(salted(1L)._2 == 100000L)
   }
 
+  test("saltedAggs matches unsalted min/max/sum/count/avg on the hot-key fixture") {
+    import spark.implicits._
+    import Skew._
+    val hot = (1 to 100000).map(i => (1L, i.toDouble))
+    val cold = (2L to 101L).flatMap(k => (1 to 10).map(i => (k, i.toDouble)))
+    val df = (hot ++ cold).toDF("k", "v")
+    val salted = Skew.saltedAggs(df, col("k"), Seq(
+        SaltedMin(col("v"), "mn"), SaltedMax(col("v"), "mx"),
+        SaltedSum(col("v"), "s"), SaltedCount("c"), SaltedAvg(col("v"), "a")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    val plain = df.groupBy("k").agg(
+        min("v").as("mn"), max("v").as("mx"),
+        sum(col("v").cast("decimal(18,6)")).cast("double").as("s"),
+        count(lit(1)).as("c"),
+        (sum(col("v").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("a"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(salted == plain)
+    assert(salted(1L)._4 == 100000L)
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     import spark.implicits._
     // Force the skew-join path: a hot fact key joined to a non-broadcast

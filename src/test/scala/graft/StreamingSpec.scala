@@ -16,6 +16,28 @@ class StreamingSpec extends SparkSuite {
     assert(stream == batch)
   }
 
+  test("R15 backpressure: maxBatchFiles bounds each microbatch (pipe_buffer_size analog)") {
+    import graft.pipeline.PipeGraph.PipeOptions
+    def drained(opts: PipeOptions, sink: String) = {
+      spark.catalog.dropTempView(sink)
+      val q = StreamingOps.eventsStream(spark, sfDir, opts)
+        .groupBy().count()
+        .writeStream.outputMode("complete").format("memory").queryName(sink)
+        .start()
+      q.processAllAvailable()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      (batches, spark.table(sink).collect().head.getLong(0))
+    }
+    // bounded: 1 file per trigger over the 4 staged files → 4 data batches
+    val (bBatches, bRows) = drained(PipeOptions(maxBatchFiles = Some(1)), "bp_bounded")
+    // unbounded: everything available arrives in a single batch
+    val (uBatches, uRows) = drained(PipeOptions(), "bp_unbounded")
+    assert(bBatches == 4, s"bounded run took $bBatches data batches")
+    assert(uBatches == 1, s"unbounded run took $uBatches data batches")
+    assert(bRows == uRows, "backpressure must not change the drained result")
+  }
+
   test("flatMapGroupsWithState sessionization equals batch x19 on a drained stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
