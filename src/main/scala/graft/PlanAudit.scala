@@ -64,6 +64,18 @@ object PlanAudit {
       _.contains("AsofJoin"))
     check("x55_asof_native", "both sides hash-partitioned on the key",
       p => "hashpartitioning\\(user_id".r.findAllIn(p).length >= 2)
+    check("x64_tpch_q3", "fact-fact SMJ + broadcast customer dim",
+      p => p.contains("SortMergeJoin") && p.contains("BroadcastHashJoin"))
+    check("x64_tpch_q3", "date predicates pushed to both fact scans",
+      p => p.contains("GreaterThan(l_shipdate") && p.contains("LessThan(o_orderdate"))
+    check("x64_tpch_q3", "top-10 as TakeOrdered (no global sort of the agg)",
+      _.contains("TakeOrderedAndProject"))
+    check("x65_global_sort", "range-partitioned distributed sort",
+      p => p.contains("rangepartitioning") && p.contains("Sort "))
+    check("x69_contamination", "benchmark shingle set broadcast (corpus side never shuffles for the screen)",
+      _.contains("BroadcastHashJoin"))
+    check("x72_oov_rate", "vocabulary broadcast to the token stream",
+      _.contains("BroadcastHashJoin"))
 
     println(if (failed == 0) "ALL PLAN CHECKS OK" else s"$failed CHECKS FAILED")
     spark.stop()

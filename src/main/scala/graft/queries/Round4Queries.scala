@@ -1,0 +1,269 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{dsum, dsumSql}
+import graft.operators.{Dedup, TextOps}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 additions: the remaining relational surface (classic TPC-H Q3
+  * join-agg-topk, a true global sort, the ntile/percent_rank/cume_dist
+  * window family, FILTER-style conditional aggregates, string scalar
+  * family) plus four LLM-pipeline operators a training-data run needs
+  * beyond dedup: benchmark-contamination screening, corpus vocabulary
+  * ranking, deterministic hash sampling, and out-of-vocabulary quality
+  * scoring — each with a full DuckDB oracle.
+  */
+object Round4Queries {
+
+  /** Exact decimal revenue (same type choreography as Round3Queries —
+    * DECIMAL(18,6) × DECIMAL(7,6) keeps DuckDB inside 38-digit multiply).
+    */
+  private def revenue: Column =
+    col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1).cast("decimal(7,6)") - col("l_discount").cast("decimal(7,6)"))
+
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6)))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // TPC-H Q3 (shipping priority): customer dim broadcast onto the
+    // orders⋈lineitem fact-fact edge (merge-hinted like x40 so the
+    // benchmarked plan is the hash-partitioned SortMergeJoin a 100 TB run
+    // needs, not AQE's toy-scale broadcast demotion), date predicates on
+    // BOTH fact scans (pushed to parquet), top-10 as TakeOrdered — no
+    // global sort of the aggregate.
+    QueryDef(
+      "x64_tpch_q3",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val ord = Tables.orders(s, dir)
+          .filter(expr("o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val li = Tables.lineitem(s, dir)
+          .filter(expr("l_shipdate > TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.hint("merge")
+          .join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey").as("okey"), col("o_orderdate"),
+            col("o_orderpriority"))
+          // scale-4 narrowing before the double cast — see x40's note.
+          .agg(sum(revenue).cast("decimal(28,4)").cast("double").as("revenue"))
+          .orderBy(desc("revenue"), asc("okey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey AS okey, o_orderdate, o_orderpriority,
+              |       CAST(CAST(sum($revenueSql) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+              |FROM lineitem
+              |JOIN orders   ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |  AND o_orderdate < TIMESTAMP '1998-01-01'
+              |  AND l_shipdate  > TIMESTAMP '1998-01-01'
+              |GROUP BY 1, 2, 3
+              |ORDER BY revenue DESC, okey LIMIT 10""".stripMargin)),
+
+    // True global sort (no limit → no TakeOrdered shortcut): Spark samples
+    // the key distribution, range-partitions, and sorts each partition —
+    // the only distributed total-order plan. Every other ordered query in
+    // the suite is top-k; this is the full-ordering path (export-sorted-
+    // corpus shape) exercised end-to-end.
+    QueryDef(
+      "x65_global_sort",
+      (s, dir) => Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    // Distribution-rank window family: ntile/percent_rank/cume_dist over
+    // a deterministic order (value, event_id tiebreak). percent_rank and
+    // cume_dist are single exact-integer divisions per row — bit-identical
+    // across engines; ntile is cast to BIGINT to match DuckDB's type.
+    QueryDef(
+      "x66_window_ranks2",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            ntile(4).over(w).cast("long").as("tile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("event_id")
+          .limit(1000)
+      },
+      Some("""SELECT event_id, CAST(ntile(4) OVER w AS BIGINT) AS tile,
+             |       percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+             |ORDER BY event_id LIMIT 1000""".stripMargin)),
+
+    // Conditional aggregates: count_if / bool_and / bool_or — the
+    // FILTER-clause family (SQL:2003) rendered with Spark's native
+    // aggregate functions (all codegen'd, map-side combinable).
+    QueryDef(
+      "x67_cond_agg",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(expr("count_if(value > 90)").as("n_hi"),
+          expr("bool_and(value >= 0)").as("all_nonneg"),
+          expr("bool_or(value > 99.9)").as("any_top"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |       count(*) FILTER (WHERE value > 90) AS n_hi,
+             |       bool_and(value >= 0) AS all_nonneg,
+             |       bool_or(value > 99.9) AS any_top,
+             |       count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // String scalar family: pad/reverse/find/replace/slice — all narrow
+    // codegen'd expressions, no shuffle before the limit.
+    QueryDef(
+      "x68_string_funcs",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          lpad(col("source"), 8, "_").as("padded"),
+          reverse(col("lang")).as("rlang"),
+          expr("CAST(locate('fast', text) AS BIGINT)").as("fast_at"),
+          expr("replace(left(text, 40), 'a', '@')").as("replaced"),
+          repeat(col("lang"), 2).as("lang2"),
+          expr("right(text, 12)").as("tail12"))
+        .orderBy("doc_id")
+        .limit(500),
+      Some("""SELECT doc_id, lpad(source, 8, '_') AS padded,
+             |       reverse(lang) AS rlang,
+             |       CAST(strpos(text, 'fast') AS BIGINT) AS fast_at,
+             |       replace(left(text, 40), 'a', '@') AS replaced,
+             |       repeat(lang, 2) AS lang2,
+             |       right(text, 12) AS tail12
+             |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    // Benchmark-contamination screen: flag corpus docs sharing any
+    // 3-shingle with a held-out benchmark set (here: doc_id < 20). The
+    // benchmark's distinct shingle set is small by construction → build
+    // it once, broadcast it, and the screen is a map-side join over the
+    // corpus — the decontamination pass every LLM training run needs,
+    // shaped so the corpus side never shuffles.
+    QueryDef(
+      "x69_contamination",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sh = TextOps.shingles(docs)
+        val bench = sh.filter(col("doc_id") < 20).select("shingle").distinct()
+        val shared = sh.filter(col("doc_id") >= 20)
+          .join(broadcast(bench), "shingle")
+          .groupBy("doc_id").agg(count(lit(1)).as("ns"))
+        docs.filter(col("doc_id") >= 20).select("doc_id")
+          .join(shared, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("ns"), lit(0L)).as("n_shared"),
+            (coalesce(col("ns"), lit(0L)) > 0).as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH sh AS (${TextOps.shinglesSql}),
+              | b AS (SELECT c.doc_id, count(*) AS ns
+              |       FROM sh c
+              |       JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20) bench
+              |         ON c.shingle = bench.shingle
+              |       WHERE c.doc_id >= 20 GROUP BY 1)
+              |SELECT d.doc_id, COALESCE(b.ns, 0) AS n_shared,
+              |       COALESCE(b.ns, 0) > 0 AS contaminated
+              |FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id
+              |WHERE d.doc_id >= 20 ORDER BY 1""".stripMargin)),
+
+    // Corpus vocabulary ranking (the Zipf table a tokenizer build starts
+    // from): token → count → rank. The window runs over the AGGREGATED
+    // vocabulary (|V| rows, not |corpus|), so the single-partition
+    // row_number is over a trivially small frame at any corpus size.
+    QueryDef(
+      "x70_vocab_rank",
+      (s, dir) => {
+        val counts = TextOps.tokens(Tables.documents(s, dir))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        counts.select(col("w"), col("c"),
+            row_number().over(Window.orderBy(desc("c"), asc("w")))
+              .cast("long").as("rank"))
+          .filter(col("rank") <= 30)
+          .orderBy("rank")
+      },
+      Some(s"""SELECT w, c, rank FROM (
+              |  SELECT w, count(*) AS c,
+              |         CAST(row_number() OVER (ORDER BY count(*) DESC, w) AS BIGINT) AS rank
+              |  FROM (${TextOps.tokensSql}) t GROUP BY w) v
+              |WHERE rank <= 30 ORDER BY rank""".stripMargin)),
+
+    // Deterministic hash sampling: an md5-prefix predicate (~3.1% rate)
+    // that is reproducible across engines, runs, partitionings, and
+    // retries — the property a 100 TB sampling pass needs that
+    // rand()-based sampling cannot give. The filter is a narrow map
+    // evaluated at the scan; the aggregate shuffles only the sample.
+    QueryDef(
+      "x71_hash_sample",
+      (s, dir) => Tables.events(s, dir)
+        .filter(substring(md5(col("event_id").cast("string").cast("binary")),
+          1, 2) < "08")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("sv"))
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type, count(*) AS n,
+              |       round(${dsumSql("value")}, 2) AS sv
+              |FROM events
+              |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '08'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Out-of-vocabulary rate per document: tokens outside the corpus
+    // top-10 vocabulary, as a quality signal (high OOV ≈ noise/junk in a
+    // real corpus). Vocabulary is an aggregate → tiny → broadcast; the
+    // per-doc pass is one groupBy over the corpus tokens. The rate is ONE
+    // double division of two exact integers — bit-identical both engines.
+    QueryDef(
+      "x72_oov_rate",
+      (s, dir) => {
+        val toks = TextOps.tokens(Tables.documents(s, dir))
+        val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("w")).limit(10).select(col("w").as("vw"))
+        toks.join(broadcast(vocab), col("w") === col("vw"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            count(when(col("vw").isNull, 1)).as("n_oov"))
+          .select(col("doc_id"), col("n_tok"), col("n_oov"),
+            (col("n_oov").cast("double") / col("n_tok")).as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (${TextOps.tokensSql}),
+              | vocab AS (SELECT w AS vw FROM (
+              |             SELECT w, count(*) AS c FROM toks GROUP BY 1)
+              |           ORDER BY c DESC, w LIMIT 10)
+              |SELECT t.doc_id, count(*) AS n_tok,
+              |       count(*) FILTER (WHERE v.vw IS NULL) AS n_oov,
+              |       CAST(count(*) FILTER (WHERE v.vw IS NULL) AS DOUBLE)
+              |         / count(*) AS oov_rate
+              |FROM toks t LEFT JOIN vocab v ON t.w = v.vw
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Dedup reporting: near-dup pair counts per source — the monitoring
+    // view a corpus pipeline publishes ("which feed is flooding us with
+    // duplicates"). Pairs come from the scalable LSH path (provably equal
+    // to exact x02 on this data); the source dim join is broadcast.
+    QueryDef(
+      "x73_dedup_by_source",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.minhashLshPairs(docs, 0.8)
+          .join(broadcast(docs.select("doc_id", "source")),
+            col("a") === col("doc_id"))
+          .groupBy("source").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source")
+      },
+      Some(s"""WITH p AS (${Dedup.ngramJaccardPairsSql(0.8)})
+              |SELECT d.source, count(*) AS n_pairs
+              |FROM p JOIN documents d ON p.a = d.doc_id
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}
