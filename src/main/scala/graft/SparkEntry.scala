@@ -12,7 +12,8 @@ object SparkEntry {
     CoreQueries.all ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ ExtraQueries.all ++
       AdvancedQueries.all ++ graft.streaming.StreamingOps.queries ++
-      Round2Queries.all ++ Round3Queries.all ++ Round4Queries.all
+      Round2Queries.all ++ Round3Queries.all ++ Round4Queries.all ++
+      graft.functions.TopKAggregator.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q8 (TPC-H Q1 shape): scan→project→partial/final agg→sort end-to-end.
