@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.{Sessions, Tables}
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, TextAnalysis, TextOps}
 import graft.pipeline.PipeGraph
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -11,21 +11,33 @@ import org.apache.spark.sql.functions._
   * → consumers, `/root/reference/README.md:56-108`) carrying this
   * library's analytics operators over a real corpus:
   *
-  *   documents ─→ enrich (quality / langid / token stats / repetition)
+  *   documents ─→ enrich (quality / langid / token stats / repetition /
+  *                OOV-vs-corpus-vocabulary rate)
   *             ─→ branch: clean | rejected  (quality + length +
-  *                Gopher-style top-bigram-repetition gates)
+  *                Gopher-style top-bigram-repetition + OOV gates)
   *             ─→ dedup: drop exact dups (keep-first), then cluster the
   *                MinHash-LSH near-dup pairs into connected components
   *                and keep ONE doc per component (the transitive-closure
   *                policy real corpus dedup uses — A~B and B~C drops both
   *                B and C even when A~C was never scored)
-  *             ─→ sinks: curated parquet + rejected parquet
+  *             ─→ decontaminate: drop docs whose 3-gram shingle overlap
+  *                with the eval-benchmark shingle set is ≥ 50% (the
+  *                n-gram-overlap screen training runs apply before eval)
+  *             ─→ branch: train | holdout  (deterministic md5-prefix
+  *                split — reproducible across runs, partitionings, and
+  *                retries, unlike rand())
+  *             ─→ sinks: train + holdout + rejected parquet
   *
   * Every step is a declarative DataFrame transform — at 100 TB this exact
   * graph runs unchanged with the parquet paths pointed at the warehouse;
-  * the LSH dedup is the scalable path (no all-pairs anywhere).
+  * the LSH dedup is the scalable path (no all-pairs anywhere), the
+  * benchmark shingle set is an aggregate (broadcast side), and the split
+  * predicate is a narrow map.
   */
 object LlmDataPipeline {
+
+  /** Docs below this id stand in for the eval benchmark (x69 convention). */
+  val benchmarkDocs = 20
 
   def build(sfDir: String, outDir: String): PipeGraph = {
     PipeGraph.builder
@@ -43,18 +55,32 @@ object LlmDataPipeline {
           .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
           .groupBy("doc_id")
           .agg((max(col("c")) * 5 > sum(col("c"))).as("repetitive"))
+        // OOV rate vs the corpus head vocabulary (the x72 signal): the
+        // vocabulary is an aggregate — tiny at any corpus size — so the
+        // per-doc pass is one broadcast join over the token stream.
+        val toksLong = TextOps.tokens(docs)
+        val vocab = toksLong.groupBy("w").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("w")).limit(10).select(col("w").as("vw"))
+        val oov = toksLong
+          .join(broadcast(vocab), col("w") === col("vw"), "left")
+          .groupBy("doc_id")
+          .agg((count(when(col("vw").isNull, 1)).cast("double") /
+            count(lit(1))).as("oov_rate"))
         docs
           .join(TextAnalysis.qualityScore(docs).select("doc_id", "quality", "n_tokens"), "doc_id")
           .join(TextAnalysis.langId(docs).select("doc_id", "pred_lang"), "doc_id")
           .join(rep, Seq("doc_id"), "left")
           .withColumn("repetitive", coalesce(col("repetitive"), lit(false)))
+          .join(oov, "doc_id")
       }
       .branchingStage("enriched", Seq("clean", "rejected")) { df =>
-        val pass = col("quality") >= 9900 && col("n_tokens") >= 15 && !col("repetitive")
+        val pass = col("quality") >= 9900 && col("n_tokens") >= 15 &&
+          !col("repetitive") && col("oov_rate") <= 0.9
         Seq(df.filter(pass), df.filter(!pass).withColumn("reject_reason",
           when(col("quality") < 9900, "low_quality")
             .when(col("n_tokens") < 15, "too_short")
-            .otherwise("repetitive")))
+            .when(col("repetitive"), "repetitive")
+            .otherwise("high_oov")))
       }
       .stage("clean", "deduped") { clean =>
         val survivors = Dedup.exactKeepFirst(clean)
@@ -68,8 +94,37 @@ object LlmDataPipeline {
           .join(survivors, Seq("doc_id"), "left_semi")
           .join(nearDupLosers, Seq("doc_id"), "left_anti")
       }
-      .consumer("deduped")(df =>
-        df.orderBy("doc_id").write.mode("overwrite").parquet(s"$outDir/curated"))
+      .stage("deduped", "curated") { deduped =>
+        // Decontamination (the x69 screen with an overlap-ratio gate):
+        // a doc whose shingle set is ≥ 50% covered by the benchmark's
+        // shingle set is a benchmark leak, not a coincidental phrase.
+        // The benchmark side is DISTINCT shingles of a fixed small doc
+        // set — an aggregate, so it broadcasts at any corpus size.
+        val sh = TextOps.shingles(deduped)
+        val bench = sh.filter(col("doc_id") < benchmarkDocs)
+          .select("shingle").distinct()
+        val contaminated = sh
+          .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+          .join(
+            sh.join(broadcast(bench), "shingle")
+              .groupBy("doc_id").agg(count(lit(1)).as("ns")),
+            Seq("doc_id"))
+          .filter(col("doc_id") >= benchmarkDocs && col("ns") * 2 >= col("n_sh"))
+          .select("doc_id")
+        deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      }
+      .branchingStage("curated", Seq("train", "holdout")) { df =>
+        // Deterministic eval split (the x71 sampler): md5-prefix < '10'
+        // ≈ 6.25% holdout, reproducible on any engine, any partitioning,
+        // any retry — the property rand()-based splits cannot give.
+        val inHoldout =
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "10"
+        Seq(df.filter(!inHoldout), df.filter(inHoldout))
+      }
+      .consumer("train")(df =>
+        df.orderBy("doc_id").write.mode("overwrite").parquet(s"$outDir/train"))
+      .consumer("holdout")(df =>
+        df.orderBy("doc_id").write.mode("overwrite").parquet(s"$outDir/holdout"))
       .consumer("rejected")(df =>
         df.orderBy("doc_id").write.mode("overwrite").parquet(s"$outDir/rejected"))
       .build()
@@ -81,9 +136,10 @@ object LlmDataPipeline {
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_pipeline_out"
     val spark = Sessions.local()
     build(sfDir, outDir).run(spark)
-    val curated = spark.read.parquet(s"$outDir/curated").count()
+    val train = spark.read.parquet(s"$outDir/train").count()
+    val holdout = spark.read.parquet(s"$outDir/holdout").count()
     val rejected = spark.read.parquet(s"$outDir/rejected").count()
-    println(s"""{"curated":$curated,"rejected":$rejected,"out":"$outDir"}""")
+    println(s"""{"train":$train,"holdout":$holdout,"rejected":$rejected,"out":"$outDir"}""")
     spark.stop()
   }
 }

@@ -240,6 +240,41 @@ object StreamingOps {
       spark.table(sinkName).orderBy("click_id", "purchase_id")
     }
 
+  /** Bounded drain with checkpointed restart: `Trigger.AvailableNow`
+    * processes everything present in `srcDir` when the query starts, then
+    * SELF-TERMINATES — the production pattern for draining a backlog in a
+    * scheduled (cron-shaped) run instead of a daemon. The checkpoint
+    * carries source offsets across runs, so a second drain after new
+    * files arrive processes ONLY the new files (exactly-once resume).
+    * This is the reference's bounded `Pipeline::wait` completion rendered
+    * for an unbounded source: quiescence comes from the trigger, not from
+    * the producer returning None.
+    *
+    * Scale: on a cluster this is how 100 TB backfills run — same query as
+    * the 24/7 stream, bounded trigger, checkpoint continuity; the
+    * watermark/state semantics are identical to the continuous run.
+    */
+  def drainAvailableNow(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      checkpointDir: String, outDir: String): DataFrame =
+    withShufflePartitions(spark, 8) {
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        // parquet sink: fault-tolerant (exactly-once via the sink's file
+        // commit log), unlike the memory sink which refuses checkpoint
+        // recovery — this is the sink a production drain writes to.
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // No processAllAvailable/stop: AvailableNow terminates on its own
+      // once the start-time backlog is drained.
+      q.awaitTermination()
+      spark.read.parquet(outDir)
+    }
+
   /** Per-key running sum as a custom stateful stage (the reference's
     * `Arc<Mutex>` running-sum idiom, `/root/reference/src/lib.rs:161-185`,
     * rendered the Spark way): `mapGroupsWithState` over a keyed stream.

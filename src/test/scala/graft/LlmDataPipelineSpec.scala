@@ -1,10 +1,12 @@
 package graft
 
 import graft.examples.LlmDataPipeline
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextOps}
 import org.apache.spark.sql.functions._
 
-/** End-to-end pipeline example: gates, dedup guarantee, determinism. */
+/** End-to-end pipeline example: gates, dedup guarantee, decontamination,
+  * deterministic split.
+  */
 class LlmDataPipelineSpec extends SparkSuite {
 
   private val out = java.nio.file.Paths.get(
@@ -12,30 +14,50 @@ class LlmDataPipelineSpec extends SparkSuite {
 
   test("pipeline partitions the corpus and curated output is near-dup free") {
     LlmDataPipeline.build(sfDir, out).run(spark)
-    val curated = spark.read.parquet(s"$out/curated")
+    val train = spark.read.parquet(s"$out/train")
+    val holdout = spark.read.parquet(s"$out/holdout")
+    val curated = train.unionByName(holdout)
     val rejected = spark.read.parquet(s"$out/rejected")
     val total = Tables.documents(spark, sfDir).count()
 
-    assert(curated.count() > 0 && rejected.count() > 0)
-    // every input doc lands in exactly one sink, before dedup losses
-    val dedupLosses = total - curated.count() - rejected.count()
-    assert(dedupLosses >= 0)
+    assert(train.count() > 0 && holdout.count() > 0 && rejected.count() > 0)
+    // every input doc lands in exactly one sink, before dedup/decontam losses
+    val losses = total - curated.count() - rejected.count()
+    assert(losses >= 0)
+    // the split is a partition of curated
+    assert(train.join(holdout, Seq("doc_id"), "inner").isEmpty)
     // gates hold
-    assert(curated.filter(col("quality") < 9900 || col("n_tokens") < 15).isEmpty)
-    assert(rejected.filter(col("quality") >= 9900 && col("n_tokens") >= 15).isEmpty)
+    assert(curated.filter(col("quality") < 9900 || col("n_tokens") < 15 ||
+      col("oov_rate") > 0.9).isEmpty)
+    assert(rejected.filter(col("quality") >= 9900 && col("n_tokens") >= 15 &&
+      col("oov_rate") <= 0.9 && !col("repetitive")).isEmpty)
     // the curated set contains no remaining near-dup pairs at the threshold
     assert(Dedup.ngramJaccardPairs(curated, 0.8).isEmpty)
     // and no exact duplicates
     assert(curated.groupBy(lower(col("text"))).count().filter(col("count") > 1).isEmpty)
+    // decontamination: no non-benchmark curated doc has ≥50% of its
+    // shingles covered by the benchmark shingle set
+    val sh = TextOps.shingles(curated)
+    val bench = TextOps.shingles(Tables.documents(spark, sfDir))
+      .filter(col("doc_id") < LlmDataPipeline.benchmarkDocs)
+      .select("shingle").distinct()
+    val leak = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .join(sh.join(bench, "shingle").groupBy("doc_id").agg(count(lit(1)).as("ns")),
+        Seq("doc_id"))
+      .filter(col("doc_id") >= LlmDataPipeline.benchmarkDocs &&
+        col("ns") * 2 >= col("n_sh"))
+    assert(leak.isEmpty)
   }
 
   test("pipeline is deterministic across runs") {
     val out2 = out + "_rerun"
     LlmDataPipeline.build(sfDir, out2).run(spark)
-    val a = spark.read.parquet(s"$out/curated").orderBy("doc_id")
-      .collect().map(_.getLong(0)).toSeq
-    val b = spark.read.parquet(s"$out2/curated").orderBy("doc_id")
-      .collect().map(_.getLong(0)).toSeq
-    assert(a == b)
+    for (sink <- Seq("train", "holdout")) {
+      val a = spark.read.parquet(s"$out/$sink").orderBy("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      val b = spark.read.parquet(s"$out2/$sink").orderBy("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(a == b, s"sink $sink differs across runs")
+    }
   }
 }

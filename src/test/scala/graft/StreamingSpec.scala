@@ -38,6 +38,33 @@ class StreamingSpec extends SparkSuite {
     assert(bRows == uRows, "backpressure must not change the drained result")
   }
 
+  test("Trigger.AvailableNow drains, self-terminates, and resumes exactly-once from checkpoint") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_an").toString
+    val src = s"$tmp/src"; val ckpt = s"$tmp/ckpt"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+
+    val sink = s"$tmp/sink"
+    spark.range(1, 11).select(col("id").as("v"))
+      .coalesce(1).write.mode("append").parquet(src)
+    val first = StreamingOps.drainAvailableNow(spark, src, schema, ckpt, sink)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // the query terminated on its own (awaitTermination returned) and
+    // drained exactly the start-time backlog
+    assert(first == (1L to 10L))
+
+    // new files arrive; a fresh drain from the SAME checkpoint must
+    // process only them (offsets carried across runs) — the sink then
+    // holds each row exactly once, no reprocessing
+    spark.range(11, 16).select(col("id").as("v"))
+      .coalesce(1).write.mode("append").parquet(src)
+    val second = StreamingOps.drainAvailableNow(spark, src, schema, ckpt, sink)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(second == (1L to 15L), s"resume broke exactly-once: $second")
+  }
+
   test("flatMapGroupsWithState sessionization equals batch x19 on a drained stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
