@@ -76,6 +76,18 @@ object PlanAudit {
       _.contains("BroadcastHashJoin"))
     check("x72_oov_rate", "vocabulary broadcast to the token stream",
       _.contains("BroadcastHashJoin"))
+    check("x75_gapfill", "grid join + fill window both partition on user_id (no single-partition window)",
+      p => "hashpartitioning\\(user_id".r.findAllIn(p).length >= 2 &&
+        !p.contains("SinglePartition, Window"))
+    // AQE's executedPlan string contains final + initial renderings, so a
+    // single physical shuffle appears twice — the bound is 2, not 1.
+    check("x78_upsert_merge", "top-1 window and per-key count share ONE shuffle of orders",
+      p => "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).length <= 2 &&
+        "Window \\[".r.findAllIn(p).length >= 2)
+    check("x79_cross_join", "cartesian of two aggregates is BroadcastNestedLoopJoin",
+      _.contains("BroadcastNestedLoopJoin"))
+    check("x80_source_mix", "mix predicate evaluated at the scan (narrow filter, no shuffle)",
+      p => !p.contains("Exchange hashpartitioning") && p.contains("Filter"))
 
     println(if (failed == 0) "ALL PLAN CHECKS OK" else s"$failed CHECKS FAILED")
     spark.stop()

@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{dsum, dsumSql}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 batch 2: time-series resample + forward-fill, exact discrete
+  * percentiles, per-label embedding centroids, CDC-style latest-wins
+  * upsert merge, explicit cross-join grid expansion, and deterministic
+  * per-source corpus mixing — the remaining analytic shapes a
+  * training-data pipeline runs beyond dedup/quality/similarity. Each has
+  * a full DuckDB oracle.
+  */
+object Round4bQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Hourly resample + forward fill (sensor/time-series alignment): a
+    // per-key hourly grid from sequence(), left-joined to the observed
+    // hourly aggregate, gaps filled with last-observation-carried-forward
+    // (last(_, ignoreNulls) over an ordered per-key window). Scale: the
+    // grid is generated per key (narrow), the join and the window both
+    // hash-partition on user_id — no global sort, state bounded by key
+    // span, and per-key rows (time range / 1h) are bounded regardless of
+    // corpus size.
+    QueryDef(
+      "x75_gapfill",
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .filter(col("user_id") < 10)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(round(dsum(col("value")), 2).as("s"))
+        val grid = hourly.groupBy("user_id")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+              .as("h"))
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .select(col("user_id"), col("h"),
+            col("s").isNotNull.as("observed"),
+            last(col("s"), ignoreNulls = true).over(w).as("filled"))
+          .orderBy("user_id", "h")
+      },
+      Some(s"""WITH hourly AS (
+              |  SELECT user_id, date_trunc('hour', ts) AS h,
+              |         round(${dsumSql("value")}, 2) AS s
+              |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+              | grid AS (
+              |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              |  FROM (SELECT user_id, min(h) AS h0, max(h) AS h1
+              |        FROM hourly GROUP BY 1))
+              |SELECT g.user_id, g.h, s IS NOT NULL AS observed,
+              |       last_value(s IGNORE NULLS)
+              |         OVER (PARTITION BY g.user_id ORDER BY g.h) AS filled
+              |FROM grid g LEFT JOIN hourly USING (user_id, h)
+              |ORDER BY 1, 2""".stripMargin)),
+
+    // Exact discrete percentiles (p25/p50/p90 latency-style cuts): DuckDB
+    // percentile_disc picks the smallest value whose cumulative rank
+    // reaches ceil(p*n) — mirrored here by row_number selection with the
+    // index computed in INTEGER arithmetic ((num*n + den-1) DIV den), so
+    // no floating-point boundary can disagree between engines. One
+    // shuffle on the group key; the per-group sort is the same work the
+    // exact percentile fundamentally needs.
+    QueryDef(
+      "x76_percentile_disc",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+        val ranked = Tables.events(s, dir)
+          .select(col("event_type"), col("value"),
+            row_number().over(w).as("rn"),
+            count(lit(1)).over(Window.partitionBy("event_type")).as("n"))
+        ranked.groupBy("event_type")
+          .agg(
+            max(when(expr("rn = (n + 3) DIV 4"), col("value"))).as("p25"),
+            max(when(expr("rn = (n + 1) DIV 2"), col("value"))).as("p50"),
+            max(when(expr("rn = (9 * n + 9) DIV 10"), col("value"))).as("p90"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+             |       percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25,
+             |       percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS p50,
+             |       percentile_disc(0.9)  WITHIN GROUP (ORDER BY value) AS p90
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Per-label embedding centroid, one row per (label, dimension):
+    // posexplode → groupBy(label, pos) → exact decimal sum / count, with
+    // the mean as ONE double division of exact quantities (the x72
+    // trick). Scale: the explode is narrow, the aggregate is map-side
+    // combinable on (label, pos) — |labels|×|dims| cells total, no
+    // per-vector state anywhere. This is the k-means update step / class
+    // prototype computation over an embedding corpus.
+    QueryDef(
+      "x77_embedding_centroid",
+      (s, dir) => Tables.embeddings(s, dir)
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
+        .agg(count(lit(1)).as("n"),
+          (dsum(col("x").cast("double")).cast("double") /
+            count(lit(1))).as("c"))
+        .orderBy("label", "pos"),
+      Some(s"""SELECT label, pos, count(*) AS n,
+              |       CAST(${dsumSql("CAST(x AS DOUBLE)")} AS DOUBLE) / count(*) AS c
+              |FROM (SELECT label, unnest(embedding) AS x,
+              |             generate_subscripts(embedding, 1) AS pos
+              |      FROM embeddings) e
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // CDC latest-wins upsert merge: fold the newest change-record per key
+    // (latest order, deterministic ties on o_orderkey) into the base
+    // dimension — the incremental-refresh MERGE a warehouse runs,
+    // rendered as window-top-1 + left join + coalesce. Scale: ONE
+    // shuffle of the fact on the merge key serves both the top-1 window
+    // and the per-key count; the dim join is the usual broadcast/SMJ
+    // choice left to the planner.
+    QueryDef(
+      "x78_upsert_merge",
+      (s, dir) => {
+        val wk = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+        val latest = Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_totalprice"),
+            row_number().over(wk).as("rn"),
+            count(lit(1)).over(Window.partitionBy("o_custkey")).as("n"))
+          .filter(col("rn") === 1)
+        Tables.customer(s, dir)
+          .join(latest, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_name"),
+            coalesce(col("o_totalprice"), col("c_acctbal")).as("balance"),
+            coalesce(col("n"), lit(0L)).as("n_orders"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH l AS (
+             |  SELECT * FROM (
+             |    SELECT o_custkey, o_totalprice,
+             |           row_number() OVER (PARTITION BY o_custkey
+             |             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+             |           count(*) OVER (PARTITION BY o_custkey) AS n
+             |    FROM orders) WHERE rn = 1)
+             |SELECT c_custkey, c_name,
+             |       COALESCE(o_totalprice, c_acctbal) AS balance,
+             |       COALESCE(n, 0) AS n_orders
+             |FROM customer LEFT JOIN l ON c_custkey = o_custkey
+             |ORDER BY 1""".stripMargin)),
+
+    // Explicit cartesian product (grid expansion): every region paired
+    // with every event-type aggregate — the label-grid / hyperparameter-
+    // sweep shape. Both sides are AGGREGATES (tiny at any corpus size),
+    // so the product is a BroadcastNestedLoopJoin of two broadcastable
+    // inputs — the only safe cross-join shape at 100 TB, and the plan
+    // audit pins it.
+    QueryDef(
+      "x79_cross_join",
+      (s, dir) => {
+        val regions = Tables.region(s, dir).select("r_regionkey", "r_name")
+        val et = Tables.events(s, dir)
+          .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        regions.crossJoin(et)
+          .select(col("r_regionkey"), col("r_name"), col("event_type"),
+            col("n_events"))
+          .orderBy("r_regionkey", "event_type")
+      },
+      Some("""SELECT r_regionkey, r_name, event_type, n_events
+             |FROM region CROSS JOIN (
+             |  SELECT event_type, count(*) AS n_events
+             |  FROM events GROUP BY 1) et
+             |ORDER BY 1, 3""".stripMargin)),
+
+    // Deterministic per-source corpus mixing (the "data mixture" pass an
+    // LLM run applies before training): each source gets a configured
+    // keep-fraction ((suffix mod 4 + 1)/4 here), applied with an
+    // md5-derived per-doc uniform compared in PURE INTEGER space
+    // (u32 < frac * 2^32) — reproducible across engines, partitionings,
+    // and retries, with zero floating point in the predicate. Narrow
+    // map+filter at the scan; nothing shuffles until the caller does.
+    QueryDef(
+      "x80_source_mix",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("u",
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+            16, 10).cast("long"))
+        .withColumn("keep_num",
+          (substring(col("source"), 4, 10).cast("long") % 4 + 1) * 1073741824L)
+        .filter(col("u") < col("keep_num"))
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |      < (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 1073741824
+             |ORDER BY 1""".stripMargin))
+  )
+}
