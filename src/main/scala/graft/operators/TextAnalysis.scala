@@ -192,6 +192,27 @@ object TextAnalysis {
         col("fp._1").as("poly_hash"), col("fp._2").as("win_min_hash"))
   }
 
+  /** Driver-gated invariants of [[rollingFingerprint]] (the x04 pattern):
+    * the oracle independently derives doc/window counts from byte lengths
+    * (text is ASCII, so DuckDB `strlen` == UTF-8 bytes) and asserts the
+    * windowed-iff-length and mod-P range properties as constants. The
+    * hash VALUES stay engine-specific (modular arithmetic has no faithful
+    * DuckDB rendering); rolling==direct recomputation is spec-checked.
+    */
+  def rollingFingerprintInvariants(docs: DataFrame, window: Int = 48): DataFrame = {
+    val P = (1L << 61) - 1
+    docs.select(col("doc_id"), octet_length(col("text")).cast("long").as("nb"))
+      .join(rollingFingerprint(docs, window), "doc_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("win_min_hash") =!= -1L, 1)).as("n_windowed"),
+        expr(s"bool_and((nb >= $window) = (win_min_hash <> -1))")
+          .as("window_iff_len"),
+        expr(s"bool_and(poly_hash >= 0 AND poly_hash < ${P}L AND " +
+          s"(win_min_hash = -1 OR (win_min_hash >= 0 AND win_min_hash < ${P}L)))")
+          .as("in_range"))
+  }
+
   // ---- declared queries -------------------------------------------------
 
   val queries: Seq[QueryDef] = Seq(
@@ -223,11 +244,18 @@ object TextAnalysis {
       Some("""SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // Modular rolling-hash arithmetic has no faithful DuckDB rendering →
-    // rows-only; known-answer + rolling==direct properties in the spec.
+    // Modular rolling-hash VALUES have no faithful DuckDB rendering, so
+    // the declared query is the invariant aggregate (counts derived by
+    // the oracle from byte lengths + windowed-iff-length + mod-P range),
+    // hash-gated like x04/x16/x49. The per-doc fingerprint surface stays
+    // available as TextAnalysis.rollingFingerprint; rolling==direct is
+    // spec-checked.
     QueryDef(
       "x24_rolling_fingerprint",
-      (s, dir) => rollingFingerprint(Tables.documents(s, dir)).orderBy("doc_id"),
-      None)
+      (s, dir) => rollingFingerprintInvariants(Tables.documents(s, dir)),
+      Some("""SELECT count(*) AS n_docs,
+             |       count(*) FILTER (WHERE strlen(text) >= 48) AS n_windowed,
+             |       true AS window_iff_len, true AS in_range
+             |FROM documents""".stripMargin))
   )
 }
