@@ -135,11 +135,13 @@ object LlmDataPipeline {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_pipeline_out"
     val spark = Sessions.local()
+    val t0 = System.nanoTime()
     build(sfDir, outDir).run(spark)
+    val secs = (System.nanoTime() - t0) / 1e9
     val train = spark.read.parquet(s"$outDir/train").count()
     val holdout = spark.read.parquet(s"$outDir/holdout").count()
     val rejected = spark.read.parquet(s"$outDir/rejected").count()
-    println(s"""{"train":$train,"holdout":$holdout,"rejected":$rejected,"out":"$outDir"}""")
+    println(f"""{"train":$train,"holdout":$holdout,"rejected":$rejected,"secs":$secs%.2f,"out":"$outDir"}""")
     spark.stop()
   }
 }
