@@ -88,6 +88,12 @@ object PlanAudit {
       _.contains("BroadcastNestedLoopJoin"))
     check("x80_source_mix", "mix predicate evaluated at the scan (narrow filter, no shuffle)",
       p => !p.contains("Exchange hashpartitioning") && p.contains("Filter"))
+    check("x81_ann_banded", "bucket routing is an equi-join on band keys (no nested-loop scan)",
+      p => p.contains("BroadcastHashJoin [band#") &&
+        !p.contains("BroadcastNestedLoopJoin"))
+    check("x82_tpch_q18", "qualifying-orders semi join broadcast; top-100 as TakeOrdered",
+      p => p.contains("LeftSemi, BuildRight") &&
+        p.contains("TakeOrderedAndProject"))
 
     println(if (failed == 0) "ALL PLAN CHECKS OK" else s"$failed CHECKS FAILED")
     spark.stop()

@@ -63,9 +63,13 @@ object Similarity {
     * the bucketing/partition key: group vectors by signature, route the
     * query to hamming-adjacent buckets, never scan the rest.
     */
-  def annTopK(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
-      planes: Int = 16, maxBits: Int = 8): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
+  /** (vec_id, e, sig): double-cast embeddings plus the `planes`-bit
+    * random-hyperplane signature — a narrow map (one UDF pass, no
+    * shuffle). Hyperplanes come from a fixed-seed RNG, deterministic
+    * across runs and JVMs.
+    */
+  private def hyperplaneSigs(spark: SparkSession, emb: DataFrame,
+      planes: Int): DataFrame = {
     val dim = 64
     val rnd = new scala.util.Random(42)
     val hp = Array.fill(planes, dim)(rnd.nextGaussian())
@@ -83,13 +87,54 @@ object Similarity {
       }
       sig
     }
-    val sigs = emb
-      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("sig", sigUdf(col("e")))
+  }
+
+  def annTopK(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
+      planes: Int = 16, maxBits: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sigs = hyperplaneSigs(spark, emb, planes)
     val query = sigs.filter(col("vec_id") === queryId)
       .select(col("e").as("q"), col("sig").as("qsig"))
     sigs.crossJoin(broadcast(query))
       .filter(bit_count(col("sig").bitwiseXOR(col("qsig"))) <= maxBits)
+      .select(col("vec_id"),
+        round(dot(col("e"), col("q"))
+          / (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("q"), col("q")))), 6)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Banded-bucket ANN — the 100 TB *routing* path. [[annTopK]] prunes by
+    * hamming distance but still evaluates the filter against every row;
+    * here the signature is split into `bands` equal-width bands and each
+    * (band, band_value) pair is a BUCKET KEY: candidates are rows sharing
+    * at least one exact band with the query — an equi-join on the bucket
+    * key with a `bands`-row broadcast side, so with the banded projection
+    * pre-materialized (bucketed/partitioned by (band, bv) in a real
+    * deployment) a probe touches ~bands·n/2^(planes/bands) rows and never
+    * scans the rest. Pigeonhole: any vector within (bands-1) hamming bits
+    * of the query shares >= 1 exact band — the same guarantee structure as
+    * the simhash banded join (Dedup.simhashPairs). Exact cosine re-rank
+    * over candidates only.
+    */
+  def annTopKBanded(spark: SparkSession, emb: DataFrame, queryId: Long,
+      k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bandBits = planes / bands
+    val mask = (1 << bandBits) - 1
+    val sigs = hyperplaneSigs(spark, emb, planes)
+    val banded = sigs.select(col("vec_id"), col("e"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bv")))
+    val qBands = banded.filter(col("vec_id") === queryId)
+      .select(col("band"), col("bv"), col("e").as("q"))
+    banded.join(broadcast(qBands), Seq("band", "bv"))
+      .select(col("vec_id"), col("e"), col("q"))
+      .dropDuplicates("vec_id") // a row can match on several bands
       .select(col("vec_id"),
         round(dot(col("e"), col("q"))
           / (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("q"), col("q")))), 6)
@@ -268,6 +313,14 @@ object Similarity {
     QueryDef(
       "x23_ivf_topk",
       (s, dir) => ivfTopK(s, Tables.embeddings(s, dir), 0L, 10),
+      None),
+
+    // Bucket-routed variant of x06 (equi-join on band keys, no per-row
+    // hamming scan) — seed-derived like x06, so rows-only; its spec
+    // asserts rank-1 self-recall and recall vs the exact top-k.
+    QueryDef(
+      "x81_ann_banded",
+      (s, dir) => annTopKBanded(s, Tables.embeddings(s, dir), 0L, 10),
       None),
 
     // The int8 quantization is engine-specific, but the exact re-rank of

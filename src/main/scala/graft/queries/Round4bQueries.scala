@@ -193,6 +193,43 @@ object Round4bQueries {
       Some("""SELECT doc_id, source FROM documents
              |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
              |      < (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 1073741824
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q18 (large-volume customers): HAVING-subquery semi join onto
+    // the fact, customer dim joined after, top-100 by order value.
+    // l_quantity is integral, so double sums are exact and
+    // order-independent — no decimal choreography needed. Scale shape:
+    // the qualifying-orders set is an aggregate (tiny) → broadcast semi
+    // join; the final top-100 is TakeOrdered, not a global sort.
+    QueryDef(
+      "x82_tpch_q18",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val big = li.groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("sq"))
+          .filter(col("sq") > 280).select("l_orderkey")
+        val ord = Tables.orders(s, dir)
+          .join(broadcast(big), col("o_orderkey") === big("l_orderkey"),
+            "left_semi")
+        ord
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice")
+          .agg(sum("l_quantity").as("sum_qty"))
+          .orderBy(desc("o_totalprice"), asc("o_orderdate"), asc("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             |       sum(l_quantity) AS sum_qty
+             |FROM customer
+             |JOIN orders   ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey IN (
+             |  SELECT l_orderkey FROM lineitem
+             |  GROUP BY 1 HAVING sum(l_quantity) > 280)
+             |GROUP BY 1, 2, 3, 4, 5
+             |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+             |LIMIT 100""".stripMargin))
   )
 }

@@ -117,6 +117,22 @@ class OperatorSpec extends SparkSuite {
     assert(recall >= 7, s"ANN recall@10 = $recall")
   }
 
+  test("banded ann: query rank 1 with cos 1.0; recall >= 4/10; deterministic") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.cosineTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val banded = Similarity.annTopKBanded(spark, emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the query shares all bands with itself → always recalled at rank 1
+    assert(banded.head == ((0L, 1.0)))
+    val recall = banded.map(_._1).count(exact.contains)
+    assert(recall >= 4, s"banded ANN recall@10 = $recall")
+    // determinism across runs (fixed hyperplane seed, fixed tie order)
+    val again = Similarity.annTopKBanded(spark, emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(banded == again)
+  }
+
   test("ivf top-k: query is rank 1; recall vs exact >= 6/10; deterministic") {
     val emb = Tables.embeddings(spark, sfDir)
     val exact = Similarity.cosineTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSeq
