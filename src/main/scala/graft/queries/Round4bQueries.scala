@@ -230,6 +230,53 @@ object Round4bQueries {
              |  GROUP BY 1 HAVING sum(l_quantity) > 280)
              |GROUP BY 1, 2, 3, 4, 5
              |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
-             |LIMIT 100""".stripMargin))
+             |LIMIT 100""".stripMargin)),
+
+    // RANGE-interval window frame (trailing 1-hour per-user stats): the
+    // time-based sibling of x57's ROWS frame — the frame is defined by an
+    // event-time span, not a row count. Spark's rangeBetween needs a
+    // numeric order key, so the frame runs over integer epoch-micros
+    // (exact; interval arithmetic in µs on both engines). Partitioned by
+    // user — no single-partition window at any scale.
+    QueryDef(
+      "x83_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("tsu"))
+          .rangeBetween(-3600000000L, 0L)
+        Tables.events(s, dir)
+          .withColumn("tsu", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            round(sum(col("value").cast("decimal(18,6)")).over(w)
+              .cast("double"), 2).as("sv_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |       count(*) OVER w AS n_1h,
+             |       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 2) AS sv_1h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    // Ordered string aggregation (the LISTAGG shape): per user, the
+    // sorted distinct high-value event types as one delimited string —
+    // rendered order-deterministically on both engines
+    // (array_sort(collect_set(...)) vs string_agg(DISTINCT ... ORDER BY)).
+    // Map-side combinable; state per group is bounded by the type
+    // vocabulary.
+    QueryDef(
+      "x84_string_agg",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("value") > 95)
+        .groupBy("user_id")
+        .agg(concat_ws(",", array_sort(collect_set(col("event_type"))))
+          .as("types"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+             |FROM events WHERE value > 95
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
