@@ -95,8 +95,40 @@ object PlanAudit {
       p => p.contains("LeftSemi, BuildRight") &&
         p.contains("TakeOrderedAndProject"))
 
-    println(if (failed == 0) "ALL PLAN CHECKS OK" else s"$failed CHECKS FAILED")
+    // ---- spark.sql.extensions deployment path ---------------------------
+    // A FRESH session configured only with GraftExtensions must get the
+    // codegen function, the as-of optimizer rule, and the as-of planner
+    // strategy — no runtime injection calls anywhere.
     spark.stop()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val ext = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-ext-audit")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    def extCheck(label: String, good: => Boolean): Unit = {
+      val ok = good
+      if (!ok) failed += 1
+      println(f"${"extensions"}%-22s $label%-40s ${if (ok) "OK" else "MISSING"}")
+    }
+    extCheck("graft_dot resolvable from bare SQL",
+      ext.sql("SELECT graft_dot(array(1.0d,2.0d), array(3.0d,4.0d)) AS d")
+        .head().getDouble(0) == 11.0)
+    extCheck("as-of optimizer rule injected",
+      ext.sessionState.optimizer.batches.flatMap(_.rules)
+        .exists(_.ruleName.contains("PushFilterThroughAsofJoin")))
+    extCheck("as-of strategy plans AsofJoinExec without runtime injection", {
+      import ext.implicits._
+      val l = Seq((1L, 10L, 1L)).toDF("k", "t", "tie")
+      val r = Seq((1L, 5L, 1L, 99L), (1L, 20L, 2L, 7L)).toDF("k", "t", "tie", "v")
+      val df = graft.plans.AsofJoin.plan(l, r, "k", "t", "tie", "v", "prev")
+      val rows = df.collect()
+      df.queryExecution.executedPlan.toString.contains("AsofJoin") &&
+        rows.length == 1 && rows.head.getAs[Long]("prev") == 99L
+    })
+    ext.stop()
+
+    println(if (failed == 0) "ALL PLAN CHECKS OK" else s"$failed CHECKS FAILED")
     if (failed > 0) sys.exit(1)
   }
 }

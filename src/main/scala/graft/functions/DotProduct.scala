@@ -82,13 +82,21 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions`-style injection (the standard deployment path on
-  * a shared cluster: every session gets the function without code changes).
+/** `spark.sql.extensions` injection (the standard deployment path on a
+  * shared cluster: every session gets the full graft surface without code
+  * changes) — the function, the as-of optimizer rule, and the as-of
+  * planner strategy. `AsofJoin.apply` also injects the latter two
+  * idempotently at call time via `spark.experimental`, so ad-hoc local
+  * sessions work without this config; a cluster sets
+  * `spark.sql.extensions=graft.functions.GraftExtensions` once instead.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (new FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
         (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }

@@ -200,6 +200,17 @@ object AsofJoin {
     if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsofJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PushFilterThroughAsofJoin
+    plan(left, right, key, time, tie, value, outName)
+  }
+
+  /** Build the node WITHOUT runtime injection — for sessions whose rule +
+    * strategy come from `spark.sql.extensions=graft.functions.GraftExtensions`
+    * (the cluster deployment path; PlanAudit proves it end-to-end).
+    */
+  def plan(left: DataFrame, right: DataFrame,
+      key: String, time: String, tie: String,
+      value: String, outName: String): DataFrame = {
+    val spark = left.sparkSession
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
