@@ -275,6 +275,37 @@ object StreamingOps {
       spark.read.parquet(outDir)
     }
 
+  /** Stream-static enrichment join — the production "enrich the stream
+    * against a dim table" shape: the static side (per-type average value,
+    * computed in batch) is re-resolved per microbatch and BROADCAST; no
+    * streaming state is involved (unlike the stream-stream join, which
+    * must buffer both sides). A fully drained stream equals the batch
+    * join (the oracle). At scale the static side is any warehouse dim:
+    * Spark picks up compacted/refreshed versions between microbatches.
+    */
+  def streamStaticJoin(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame =
+    withShufflePartitions(spark, 8) {
+      val dim = Tables.events(spark, dir).groupBy("event_type")
+        .agg((graft.QueryDef.dsum(col("value")).cast("double") /
+          count(lit(1))).as("avg_v"))
+      spark.catalog.dropTempView(sinkName)
+      val q = stagedEventsStream(spark, dir)
+        .select("event_id", "event_type", "value")
+        .join(broadcast(dim), "event_type")
+        .select(col("event_type"), (col("value") > col("avg_v")).as("above"))
+        .groupBy("event_type", "above")
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(sinkName).orderBy("event_type", "above")
+    }
+
   /** Per-key running sum as a custom stateful stage (the reference's
     * `Arc<Mutex>` running-sum idiom, `/root/reference/src/lib.rs:161-185`,
     * rendered the Spark way): `mapGroupsWithState` over a keyed stream.
@@ -443,6 +474,17 @@ object StreamingOps {
              |  ON c.user_id = p.user_id
              | AND c.event_type = 'click' AND p.event_type = 'purchase'
              | AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + 1800000000
-             |ORDER BY click_id, purchase_id""".stripMargin))
+             |ORDER BY click_id, purchase_id""".stripMargin)),
+
+    QueryDef(
+      "x85_stream_static",
+      (s, dir) => streamStaticJoin(s, dir, "x85_stream_static_sink"),
+      Some(s"""WITH d AS (
+              |  SELECT event_type,
+              |         ${dsumSql("value")} / count(*) AS avg_v
+              |  FROM events GROUP BY 1)
+              |SELECT e.event_type, e.value > d.avg_v AS above, count(*) AS n
+              |FROM events e JOIN d USING (event_type)
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

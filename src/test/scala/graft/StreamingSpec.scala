@@ -38,6 +38,31 @@ class StreamingSpec extends SparkSuite {
     assert(bRows == uRows, "backpressure must not change the drained result")
   }
 
+  test("foreachBatch sink: custom per-microbatch writer sees every row exactly once") {
+    import graft.pipeline.PipeGraph.PipeOptions
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_feb").toString
+    val batchIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // bounded batches (maxBatchFiles=1 over the 4 staged files) so the
+    // custom sink demonstrably runs once per microbatch
+    val q = StreamingOps.eventsStream(spark, sfDir, PipeOptions(maxBatchFiles = Some(1)))
+      .select("event_id")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batchIds.synchronized { batchIds += id }
+        batch.write.mode("append").parquet(s"$out/sink")
+        () // foreachBatch needs the scala.Function return, not a value
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batchIds.size == 4, s"expected 4 microbatches, saw $batchIds")
+    val written = spark.read.parquet(s"$out/sink")
+    val expected = Tables.events(spark, sfDir).count()
+    assert(written.count() == expected)
+    assert(written.distinct().count() == expected, "duplicate rows in custom sink")
+  }
+
   test("Trigger.AvailableNow drains, self-terminates, and resumes exactly-once from checkpoint") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_an").toString
