@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.{Dedup, Skew}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based checks (raw ScalaCheck, no scalatest bridge in the
+  * offline cache): each Spark operator is compared against an INDEPENDENT
+  * plain-Scala reference implementation over arbitrary generated inputs —
+  * a different correctness axis than the DuckDB oracles, which pin only
+  * the fixed test corpus.
+  */
+class OperatorPropertySpec extends SparkSuite {
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(8)
+    .withWorkers(1)
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // cents-valued doubles: exact in DECIMAL(18,6) and in BigDecimal
+  private val cents: Gen[Double] = Gen.choose(-1000000L, 1000000L).map(_ / 100.0)
+  private val keyGen: Gen[String] = Gen.choose(0, 4).map("k" + _)
+
+  test("property: saltedAggs(sum,count,min,max,avg) == plain-Scala reference on arbitrary bags") {
+    import Skew._
+    val rows = Gen.listOfN(40, Gen.zip(keyGen, cents)).map(_.take(40))
+    check(Prop.forAll(rows) { xs =>
+      import spark.implicits._
+      val df = xs.toDF("k0", "v")
+      val got = saltedAggs(df, col("k0"),
+        Seq(SaltedSum(col("v"), "s"), SaltedCount("n"),
+          SaltedMin(col("v"), "lo"), SaltedMax(col("v"), "hi"),
+          SaltedAvg(col("v"), "m")), salts = 7)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5))))
+        .toMap
+      val want = xs.groupBy(_._1).map { case (k, g) =>
+        val vs = g.map(_._2)
+        val s = vs.map(BigDecimal(_)).sum
+        k -> ((s.toDouble, vs.size.toLong, vs.min, vs.max,
+          s.toDouble / vs.size))
+      }
+      got == want
+    })
+  }
+
+  test("property: dedupClusters == union-find reference on arbitrary edge lists") {
+    val edge = Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L))
+    val edges = Gen.listOfN(12, edge)
+    check(Prop.forAll(edges) { es =>
+      import spark.implicits._
+      val got = Dedup.dedupClusters(es.toDF("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // union-find reference
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val want = nodes.groupBy(find).flatMap { case (_, members) =>
+        val label = members.min
+        members.map(_ -> label)
+      }.toMap
+      got == want
+    })
+  }
+
+  test("property: exactKeepFirst == min-id-per-normalized-text reference") {
+    val text = Gen.listOfN(3, Gen.oneOf("A", "b", "C", "d")).map(_.mkString(" "))
+    val rows = Gen.listOfN(25, text).map(_.zipWithIndex.map {
+      case (t, i) => (i.toLong, t)
+    })
+    check(Prop.forAll(rows) { xs =>
+      import spark.implicits._
+      val got = Dedup.exactKeepFirst(xs.toDF("doc_id", "text"))
+        .collect().map(_.getLong(0)).toSet
+      val want = xs.groupBy(_._2.toLowerCase).values.map(_.map(_._1).min).toSet
+      got == want
+    })
+  }
+
+  test("property: TopKAggregator == sort-and-take reference per group") {
+    import graft.functions.TopKAggregator
+    val row = Gen.zip(keyGen, cents, Gen.choose(0L, 1000L))
+    val rows = Gen.listOfN(30, row)
+    check(Prop.forAll(rows) { xs =>
+      import spark.implicits._
+      val agg = new TopKAggregator[(String, Double, Long)](3, t => (t._2, t._3))
+      val got = xs.toDS().groupByKey(_._1)
+        .agg(agg.toColumn.name("top"))
+        .collect().map { case (k, top) => k -> top.toList }.toMap
+      val want = xs.groupBy(_._1).map { case (k, g) =>
+        k -> g.map(t => (t._2, t._3))
+          .sortBy { case (v, id) => (-v, id) }
+          // ties on (value, id) are genuine duplicates; the aggregator
+          // keeps duplicate pairs like the sort does
+          .take(3).toList
+      }
+      got == want
+    })
+  }
+}
