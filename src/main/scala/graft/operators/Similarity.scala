@@ -34,14 +34,22 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
+  /** Fused codegen cosine ([[graft.functions.CosineSimilarity]]): dot and
+    * both norms in ONE array traversal (the composed dot/sqrt·sqrt
+    * rendering walks the arrays three times). Bit-identical to the
+    * composition — same per-accumulator ascending order, same final
+    * combine — so every oracle hash is unchanged.
+    */
+  private def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
   /** cos(e, q) for all rows against the single-row `query` DF (broadcast). */
   private def withCosine(emb: DataFrame, query: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .crossJoin(broadcast(query))
       .select(col("vec_id"),
-        round(dot(col("e"), col("q"))
-          / (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("q"), col("q")))), 6)
+        round(cosine(col("e"), col("q")), 6)
           .as("cos_sim"))
   }
 
@@ -100,8 +108,7 @@ object Similarity {
     sigs.crossJoin(broadcast(query))
       .filter(bit_count(col("sig").bitwiseXOR(col("qsig"))) <= maxBits)
       .select(col("vec_id"),
-        round(dot(col("e"), col("q"))
-          / (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("q"), col("q")))), 6)
+        round(cosine(col("e"), col("q")), 6)
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
@@ -136,8 +143,7 @@ object Similarity {
       .select(col("vec_id"), col("e"), col("q"))
       .dropDuplicates("vec_id") // a row can match on several bands
       .select(col("vec_id"),
-        round(dot(col("e"), col("q"))
-          / (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("q"), col("q")))), 6)
+        round(cosine(col("e"), col("q")), 6)
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
@@ -227,8 +233,7 @@ object Similarity {
     val query = assigned.filter(col("vec_id") === queryId).select(col("e").as("q"))
     assigned.crossJoin(broadcast(query))
       .select(col("vec_id"),
-        round(dot(col("e"), col("q"))
-          / (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("q"), col("q")))), 6)
+        round(cosine(col("e"), col("q")), 6)
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
@@ -275,8 +280,7 @@ object Similarity {
       .join(exact, "vec_id")
       .crossJoin(broadcast(query))
       .select(col("vec_id"),
-        round(dot(col("e"), col("q"))
-          / (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("q"), col("q")))), 6)
+        round(cosine(col("e"), col("q")), 6)
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
