@@ -94,6 +94,11 @@ object PlanAudit {
     check("x82_tpch_q18", "qualifying-orders semi join broadcast; top-100 as TakeOrdered",
       p => p.contains("LeftSemi, BuildRight") &&
         p.contains("TakeOrderedAndProject"))
+    check("x86_chunking", "chunk generation is narrow (only the output sort exchanges)",
+      p => !p.contains("Exchange hashpartitioning"))
+    check("x87_seq_packing", "packing window partitions on source (no single-partition window)",
+      p => p.contains("hashpartitioning(source") &&
+        !p.contains("SinglePartition, Window"))
 
     // ---- spark.sql.extensions deployment path ---------------------------
     // A FRESH session configured only with GraftExtensions must get the

@@ -277,6 +277,72 @@ object Round4bQueries {
       Some("""SELECT user_id,
              |       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
              |FROM events WHERE value > 95
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Document chunking — the training-prep op that turns long documents
+    // into overlapping fixed-width token windows (width 10, stride 5
+    // here; width 2048, stride 1024 in a real run). One narrow pass:
+    // tokenize, generate chunk starts with sequence(), slice the token
+    // array per start — no shuffle, no UDF, and the chunk count per doc
+    // is ~len/stride regardless of corpus size.
+    QueryDef(
+      "x86_chunking",
+      (s, dir) => {
+        val ts = filter(split(lower(col("text")), " "),
+          (w: org.apache.spark.sql.Column) => w =!= "")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), ts.as("ts"))
+          .select(col("doc_id"), col("ts"),
+            explode(sequence(lit(0L),
+              greatest(size(col("ts")).cast("long") - 10, lit(0L)),
+              lit(5L))).as("chunk_start"))
+          .select(col("doc_id"), col("chunk_start"),
+            array_join(slice(col("ts"),
+              (col("chunk_start") + 1).cast("int"), lit(10)), " ").as("chunk"))
+          .orderBy("doc_id", "chunk_start")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+             |  FROM documents),
+             | chunks AS (
+             |  SELECT doc_id, ts,
+             |         unnest(generate_series(0,
+             |           CAST(greatest(len(ts) - 10, 0) AS BIGINT), 5)) AS chunk_start
+             |  FROM toks)
+             |SELECT doc_id, chunk_start,
+             |       array_to_string(list_slice(ts, chunk_start + 1, chunk_start + 10), ' ') AS chunk
+             |FROM chunks ORDER BY 1, 2""".stripMargin)),
+
+    // Sequence packing by cumulative token budget, PER SOURCE: each
+    // source shard packs its docs (doc_id order) into 512-token bins via
+    // a running sum — the deterministic packing pass before batching.
+    // The window partitions on source, so no single-partition window
+    // exists at any corpus size (global packing would serialize; per-shard
+    // packing is what a distributed run does anyway).
+    QueryDef(
+      "x87_seq_packing",
+      (s, dir) => {
+        val ts = filter(split(lower(col("text")), " "),
+          (w: org.apache.spark.sql.Column) => w =!= "")
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(ts).cast("long").as("n_tok"))
+          .withColumn("bin",
+            (sum(col("n_tok")).over(w) - col("n_tok")).divide(lit(512))
+              .cast("long"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(list_filter(string_split(lower(text), ' '),
+             |           x -> x <> '')) AS BIGINT) AS n_tok
+             |  FROM documents)
+             |SELECT doc_id, source, n_tok,
+             |       CAST((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+             |             - n_tok) // 512 AS BIGINT) AS bin
+             |FROM n ORDER BY 1""".stripMargin))
   )
 }
