@@ -113,16 +113,50 @@ object LlmDataPipeline {
           .select("doc_id")
         deduped.join(contaminated, Seq("doc_id"), "left_anti")
       }
-      .branchingStage("curated", Seq("train", "holdout")) { df =>
+      .branchingStage("curated", Seq("train", "train_for_seq", "holdout")) { df =>
         // Deterministic eval split (the x71 sampler): md5-prefix < '10'
         // ≈ 6.25% holdout, reproducible on any engine, any partitioning,
-        // any retry — the property rand()-based splits cannot give.
+        // any retry — the property rand()-based splits cannot give. The
+        // train side is teed (one copy sinks, one feeds chunking) — each
+        // pipe has exactly one reader, as the reference requires.
         val inHoldout =
           substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "10"
-        Seq(df.filter(!inHoldout), df.filter(inHoldout))
+        Seq(df.filter(!inHoldout), df.filter(!inHoldout), df.filter(inHoldout))
+      }
+      .stage("train_for_seq", "sequences") { train =>
+        // Chunk each curated doc into overlapping token windows (the x86
+        // op, width 64 / stride 32) and pack chunks into 512-token bins
+        // per source (the x87 op) — the output is ready-to-batch training
+        // sequences. Both passes are narrow except the per-source packing
+        // window.
+        val ts = filter(split(lower(col("text")), " "), (w: Column) => w =!= "")
+        val chunks = train
+          .select(col("doc_id"), col("source"), ts.as("ts"))
+          .select(col("doc_id"), col("source"), col("ts"),
+            explode(sequence(lit(0L),
+              greatest(size(col("ts")).cast("long") - 64, lit(0L)),
+              lit(32L))).as("chunk_start"))
+          .select(col("doc_id"), col("source"), col("chunk_start"),
+            slice(col("ts"), (col("chunk_start") + 1).cast("int"), lit(64))
+              .as("chunk_toks"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id", "chunk_start")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        chunks
+          .withColumn("n_tok", size(col("chunk_toks")).cast("long"))
+          .withColumn("bin",
+            (sum(col("n_tok")).over(w) - col("n_tok")).divide(lit(512))
+              .cast("long"))
+          .select(col("doc_id"), col("source"), col("chunk_start"),
+            array_join(col("chunk_toks"), " ").as("chunk"), col("n_tok"),
+            col("bin"))
       }
       .consumer("train")(df =>
         df.orderBy("doc_id").write.mode("overwrite").parquet(s"$outDir/train"))
+      .consumer("sequences")(df =>
+        df.orderBy("doc_id", "chunk_start").write.mode("overwrite")
+          .parquet(s"$outDir/sequences"))
       .consumer("holdout")(df =>
         df.orderBy("doc_id").write.mode("overwrite").parquet(s"$outDir/holdout"))
       .consumer("rejected")(df =>
@@ -141,7 +175,8 @@ object LlmDataPipeline {
     val train = spark.read.parquet(s"$outDir/train").count()
     val holdout = spark.read.parquet(s"$outDir/holdout").count()
     val rejected = spark.read.parquet(s"$outDir/rejected").count()
-    println(f"""{"train":$train,"holdout":$holdout,"rejected":$rejected,"secs":$secs%.2f,"out":"$outDir"}""")
+    val sequences = spark.read.parquet(s"$outDir/sequences").count()
+    println(f"""{"train":$train,"holdout":$holdout,"rejected":$rejected,"sequences":$sequences,"secs":$secs%.2f,"out":"$outDir"}""")
     spark.stop()
   }
 }

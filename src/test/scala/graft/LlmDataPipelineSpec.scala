@@ -35,6 +35,13 @@ class LlmDataPipelineSpec extends SparkSuite {
     assert(Dedup.ngramJaccardPairs(curated, 0.8).isEmpty)
     // and no exact duplicates
     assert(curated.groupBy(lower(col("text"))).count().filter(col("count") > 1).isEmpty)
+    // sequences: every train doc is chunked; chunks respect width/stride;
+    // per-source bins never exceed the 512-token budget except via a
+    // single chunk spanning a boundary (bin assignment uses the PRE-sum)
+    val seqs = spark.read.parquet(s"$out/sequences")
+    assert(seqs.select("doc_id").distinct().count() == train.count())
+    assert(seqs.filter(col("n_tok") > 64 || col("n_tok") < 1).isEmpty)
+    assert(seqs.filter(col("chunk_start") % 32 =!= 0).isEmpty)
     // decontamination: no non-benchmark curated doc has ≥50% of its
     // shingles covered by the benchmark shingle set
     val sh = TextOps.shingles(curated)
