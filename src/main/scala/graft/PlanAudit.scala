@@ -99,6 +99,8 @@ object PlanAudit {
     check("x87_seq_packing", "packing window partitions on source (no single-partition window)",
       p => p.contains("hashpartitioning(source") &&
         !p.contains("SinglePartition, Window"))
+    check("x88_tpch_q21", "EXISTS/NOT EXISTS planned as semi + anti joins",
+      p => p.contains("LeftSemi") && p.contains("LeftAnti"))
 
     // ---- spark.sql.extensions deployment path ---------------------------
     // A FRESH session configured only with GraftExtensions must get the

@@ -343,6 +343,44 @@ object Round4bQueries {
              |SELECT doc_id, source, n_tok,
              |       CAST((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
              |             - n_tok) // 512 AS BIGINT) AS bin
-             |FROM n ORDER BY 1""".stripMargin))
+             |FROM n ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q21 shape (suppliers solely at fault): combined correlated
+    // EXISTS + NOT EXISTS on the same fact — the hardest anti-join
+    // planning pattern (Spark turns them into one LeftSemi and one
+    // LeftAnti over the shared l_orderkey shuffle). Adapted to this
+    // schema: a supplier's RETURNED line on a multi-supplier order where
+    // no OTHER supplier's line was returned.
+    QueryDef(
+      "x88_tpch_q21",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem")
+        s.sql("""SELECT l1.l_suppkey AS suppkey, count(*) AS numwait
+                |FROM g_lineitem l1
+                |WHERE l1.l_returnflag = 'R'
+                |  AND EXISTS (SELECT 1 FROM g_lineitem l2
+                |              WHERE l2.l_orderkey = l1.l_orderkey
+                |                AND l2.l_suppkey <> l1.l_suppkey)
+                |  AND NOT EXISTS (SELECT 1 FROM g_lineitem l3
+                |                  WHERE l3.l_orderkey = l1.l_orderkey
+                |                    AND l3.l_suppkey <> l1.l_suppkey
+                |                    AND l3.l_returnflag = 'R')
+                |GROUP BY 1
+                |ORDER BY numwait DESC, suppkey
+                |LIMIT 20""".stripMargin)
+      },
+      Some("""SELECT l1.l_suppkey AS suppkey, count(*) AS numwait
+             |FROM lineitem l1
+             |WHERE l1.l_returnflag = 'R'
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey
+             |                AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey
+             |                    AND l3.l_suppkey <> l1.l_suppkey
+             |                    AND l3.l_returnflag = 'R')
+             |GROUP BY 1
+             |ORDER BY numwait DESC, suppkey
+             |LIMIT 20""".stripMargin))
   )
 }
