@@ -46,8 +46,21 @@ object Dedup {
     // materialization the scan→tokenize→window pipeline re-runs for each
     // reference (5 FileScans, 7 Window ops observed). localCheckpoint
     // computes it once; at warehouse scale this would be a persisted
-    // shingle index table instead.
-    val shAll = TextOps.shingles(docs).localCheckpoint()
+    // shingle index table instead — that path is
+    // [[ngramJaccardPairsFromShingles]] (BucketingSpec proves the bucketed
+    // index self-joins with no exchange).
+    ngramJaccardPairsFromShingles(
+      TextOps.shingles(docs).localCheckpoint(), threshold, maxDocFreq)
+  }
+
+  /** The inverted-index core over an ALREADY MATERIALIZED `(doc_id,
+    * shingle)` set — at 100 TB this input is a persisted table bucketed by
+    * `shingle`, so the self-join below is co-located (no exchange on the
+    * fact-sized side; only the (a,b) pair aggregation shuffles).
+    */
+  def ngramJaccardPairsFromShingles(shingles: DataFrame, threshold: Double,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val shAll = shingles
     // Skew guard for the inverted-index join: a boilerplate shingle
     // appearing in d documents contributes d² join rows. Dropping shingles
     // with document frequency > maxDocFreq caps the worst key's fan-out;

@@ -52,6 +52,39 @@ class BucketingSpec extends SparkSuite {
     }
   }
 
+  test("persisted bucketed shingle index: dedup self-join co-locates and reproduces the inline pairs") {
+    import graft.operators.{Dedup, TextOps}
+    spark.sql("DROP TABLE IF EXISTS shingles_b")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("spark-warehouse/shingles_b"))
+    val docs = Tables.documents(spark, sfDir)
+    // the warehouse path PERF.md describes: the shingle index persisted
+    // ONCE, bucketed by the join key, shared by the whole dedup family
+    TextOps.shingles(docs)
+      .write.bucketBy(8, "shingle").sortBy("shingle")
+      .mode("overwrite").saveAsTable("shingles_b")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = Dedup.ngramJaccardPairsFromShingles(
+        spark.table("shingles_b"), 0.8)
+      val got = pairs.orderBy("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val plan = pairs.queryExecution.executedPlan.toString
+      // the fact-sized self-join reads co-located buckets — no exchange on
+      // the shingle key anywhere in the plan
+      assert(!plan.contains("Exchange hashpartitioning(shingle"),
+        s"bucketed shingle self-join should not shuffle on shingle:\n$plan")
+      // same pairs as the inline (localCheckpoint) rendering x02 declares
+      val inline = Dedup.ngramJaccardPairs(docs, 0.8).orderBy("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == inline)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("SQL surface: the engine is queryable via spark.sql over temp views") {
     Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
     val viaSql = spark.sql(
