@@ -101,6 +101,8 @@ object PlanAudit {
         !p.contains("SinglePartition, Window"))
     check("x88_tpch_q21", "EXISTS/NOT EXISTS planned as semi + anti joins",
       p => p.contains("LeftSemi") && p.contains("LeftAnti"))
+    check("x89_batch_topk", "per-query top-k pruned before the shuffle (WindowGroupLimit)",
+      _.contains("WindowGroupLimit"))
 
     // ---- spark.sql.extensions deployment path ---------------------------
     // A FRESH session configured only with GraftExtensions must get the

@@ -149,6 +149,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched exact top-k: MANY query vectors retrieved in one corpus pass
+    * — the serving/eval shape (a probe set, not one query). The query
+    * block broadcasts; each corpus row scores against all queries in one
+    * fused-cosine projection; per-query top-k runs as a window that
+    * Spark prunes to per-partition heaps (WindowGroupLimit) before the
+    * shuffle — so the shuffle carries ≤ k rows per (partition, query),
+    * not the n×q score matrix.
+    */
+  def batchCosineTopK(emb: DataFrame, maxQueryId: Long, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val q = emb.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), toDouble(col("embedding")).as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_sim"), asc("vec_id"))
+    emb.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("e"), col("q")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy("qid", "vec_id")
+  }
+
   /** IVF (inverted-file) ANN: a deterministic k-means coarse quantizer
     * partitions vectors into `nlist` cells; a query probes only the
     * `nprobe` nearest cells and re-ranks exactly within them.
@@ -326,6 +350,26 @@ object Similarity {
       "x81_ann_banded",
       (s, dir) => annTopKBanded(s, Tables.embeddings(s, dir), 0L, 10),
       None),
+
+    // Batched exact retrieval (5 probes, top-3 each) — one corpus pass
+    // for the whole probe set; WindowGroupLimit prunes before the
+    // shuffle (plan-audited).
+    QueryDef(
+      "x89_batch_topk",
+      (s, dir) => batchCosineTopK(Tables.embeddings(s, dir), 5L, 3),
+      Some("""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+             |           FROM embeddings WHERE vec_id < 5)
+             |SELECT qid, vec_id, cos_sim FROM (
+             |  SELECT q.qid, e.vec_id,
+             |         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+             |           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+             |            * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim,
+             |         row_number() OVER (PARTITION BY q.qid
+             |           ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+             |             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+             |              * sqrt(list_dot_product(q.qe, q.qe))), 6) DESC, e.vec_id) AS rn
+             |  FROM embeddings e, q) ranked
+             |WHERE rn <= 3 ORDER BY qid, vec_id""".stripMargin)),
 
     // The int8 quantization is engine-specific, but the exact re-rank of
     // the top-50 candidates makes the final top-10 EQUAL the brute-force
