@@ -103,6 +103,17 @@ object PlanAudit {
       p => p.contains("LeftSemi") && p.contains("LeftAnti"))
     check("x89_batch_topk", "per-query top-k pruned before the shuffle (WindowGroupLimit)",
       _.contains("WindowGroupLimit"))
+    check("x90_tpch_q5", "all four dim arms broadcast; order-date pushed to the orders scan",
+      p => "BroadcastHashJoin".r.findAllIn(p).length >= 4 &&
+        p.contains("GreaterThanOrEqual(o_orderdate"))
+    // the PushedFilters list is length-truncated in plan.toString, so
+    // assert the visible prefix + the full predicate set in the Filter
+    check("x91_tpch_q6", "all predicates pushed to the lineitem scan",
+      p => p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)") &&
+        p.contains("l_discount#") && p.contains("< 24"))
+    check("x92_tpch_q10", "returnflag pushed to scan; top-20 as TakeOrdered",
+      p => p.contains("EqualTo(l_returnflag,R)") &&
+        p.contains("TakeOrderedAndProject"))
 
     // ---- spark.sql.extensions deployment path ---------------------------
     // A FRESH session configured only with GraftExtensions must get the

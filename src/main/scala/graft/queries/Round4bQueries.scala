@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Round4bQueries {
 
+  /** Exact decimal revenue (same choreography as Round4Queries — one
+    * factor narrow so DuckDB multiplies inside 38 digits).
+    */
+  private def revenue: org.apache.spark.sql.Column =
+    col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1).cast("decimal(7,6)") - col("l_discount").cast("decimal(7,6)"))
+
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6)))"
+
   val all: Seq[QueryDef] = Seq(
 
     // Hourly resample + forward fill (sensor/time-series alignment): a
@@ -381,6 +391,102 @@ object Round4bQueries {
              |                    AND l3.l_returnflag = 'R')
              |GROUP BY 1
              |ORDER BY numwait DESC, suppkey
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // TPC-H Q5 (local supplier volume): the classic 5-way star-plus-
+    // colocation join — the c_nationkey = s_nationkey condition makes the
+    // customer and supplier arms correlate through the fact, the shape
+    // join-order optimizers earn their keep on. Dims broadcast; the
+    // orders date filter pushes to the fact scan.
+    QueryDef(
+      "x90_tpch_q5",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+        val ord = Tables.orders(s, dir)
+          .filter(expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+            expr("o_orderdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+          .select("o_orderkey", "o_custkey")
+        val li = Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+        val nat = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+        val reg = Tables.region(s, dir)
+          .filter(col("r_name") === "ASIA").select("r_regionkey")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(revenue).cast("decimal(28,4)").cast("double").as("revenue"))
+          .orderBy(desc("revenue"), asc("n_name"))
+      },
+      Some(s"""SELECT n_name,
+              |       CAST(CAST(sum($revenueSql) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+              |FROM customer
+              |JOIN orders   ON c_custkey = o_custkey
+              |JOIN lineitem ON l_orderkey = o_orderkey
+              |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              |JOIN nation   ON s_nationkey = n_nationkey
+              |JOIN region   ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+              |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+              |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // TPC-H Q6 (forecasting revenue change): pure scan-filter-aggregate —
+    // every predicate pushes to the parquet scan, the aggregate is one
+    // partial+final pair, zero joins. The "how fast can you scan"
+    // baseline of the suite.
+    QueryDef(
+      "x91_tpch_q6",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(expr("l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+          expr("l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,6)") *
+            col("l_discount").cast("decimal(7,6)"))
+          .cast("decimal(28,4)").cast("double").as("revenue"),
+          count(lit(1)).as("n")),
+      Some("""SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+             |         * CAST(l_discount AS DECIMAL(7,6))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
+             |       count(*) AS n
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q10 (returned-item reporting): fact filtered on returnflag,
+    // customer + nation dims, top-20 accounts by lost revenue —
+    // TakeOrdered, dims broadcast.
+    QueryDef(
+      "x92_tpch_q10",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        val cust = Tables.customer(s, dir)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        val nat = Tables.nation(s, dir).select("n_nationkey", "n_name")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(sum(revenue).cast("decimal(28,4)").cast("double").as("revenue"))
+          .orderBy(desc("revenue"), asc("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+              |       CAST(CAST(sum($revenueSql) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+              |FROM lineitem
+              |JOIN orders   ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation   ON c_nationkey = n_nationkey
+              |WHERE l_returnflag = 'R'
+              |GROUP BY 1, 2, 3, 4
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
   )
 }
