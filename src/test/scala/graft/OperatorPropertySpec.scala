@@ -87,6 +87,50 @@ class OperatorPropertySpec extends SparkSuite {
     })
   }
 
+  test("property: native as-of join == plain-Scala reference on arbitrary inputs") {
+    val leftGen = Gen.listOfN(15, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 20L)))
+      .map(_.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) })
+    val rightGen = Gen.listOfN(10, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 20L)))
+      .map(_.zipWithIndex.map { case ((k, t), i) =>
+        (k, t, 1000L + i, 7000L + i) }) // unique tie + value per right row
+    check(Prop.forAll(leftGen, rightGen) { (ls, rs) =>
+      (ls.isEmpty || rs.isEmpty) || {
+        import spark.implicits._
+        val got = graft.plans.AsofJoin(
+          ls.toDF("k", "t", "id"), rs.toDF("k", "t", "id", "v"),
+          "k", "t", "id", "v", "m")
+          .collect().map(r => r.getLong(2) ->
+            (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+        // reference: latest right row with (t, tie) strictly before the
+        // left row's (t, tie), per key
+        val want = ls.map { case (lk, lt, lid) =>
+          val prior = rs.filter { case (rk, rt, rid, _) =>
+            rk == lk && (rt < lt || (rt == lt && rid < lid)) }
+          lid -> prior.sortBy { case (_, rt, rid, _) => (rt, rid) }
+            .lastOption.map(_._4)
+        }.toMap
+        got == want
+      }
+    })
+  }
+
+  test("property: LSH pairs are a verified subset of exact Jaccard pairs") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val doc = Gen.listOfN(8, word).map(_.mkString(" "))
+    val docsGen = Gen.listOfN(8, doc).map(_.zipWithIndex.map {
+      case (t, i) => (i.toLong, t) })
+    check(Prop.forAll(docsGen) { xs =>
+      import spark.implicits._
+      val df = xs.toDF("doc_id", "text")
+      def pairs(d: org.apache.spark.sql.DataFrame) =
+        d.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(Dedup.ngramJaccardPairs(df, 0.8))
+      val lsh = pairs(Dedup.minhashLshPairs(df, 0.8))
+      // candidates are exactly verified → no false positives, ever
+      lsh.subsetOf(exact)
+    })
+  }
+
   test("property: TopKAggregator == sort-and-take reference per group") {
     import graft.functions.TopKAggregator
     val row = Gen.zip(keyGen, cents, Gen.choose(0L, 1000L))
