@@ -131,6 +131,51 @@ class OperatorPropertySpec extends SparkSuite {
     })
   }
 
+  test("property: simhash banded join is pigeonhole-complete on arbitrary corpora") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val doc = Gen.listOfN(10, word).map(_.mkString(" "))
+    val docsGen = Gen.listOfN(8, doc).map(_.zipWithIndex.map {
+      case (t, i) => (i.toLong, t) })
+    check(Prop.forAll(docsGen) { xs =>
+      import spark.implicits._
+      // banded must find EVERY pair brute-force hamming finds (n_missing=0)
+      val row = Dedup.simhashBandedComplete(xs.toDF("doc_id", "text")).collect().head
+      row.getBoolean(row.fieldIndex("banded_complete"))
+    })
+  }
+
+  test("property: percentile_disc index formula == smallest-value-with-cume>=p reference") {
+    val vals = Gen.listOfN(30, Gen.choose(1, 100))
+    check(Prop.forAll(vals) { xs0 =>
+      xs0.isEmpty || {
+        import spark.implicits._
+        val xs = xs0.map(_.toDouble)
+        val df = xs.zipWithIndex.map { case (v, i) => ("g", v, i.toLong) }
+          .toDF("event_type", "value", "event_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        val got = df.select(col("event_type"), col("value"),
+            row_number().over(w).as("rn"),
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("event_type")).as("n"))
+          .groupBy("event_type")
+          .agg(
+            max(when(expr("rn = (n + 3) DIV 4"), col("value"))).as("p25"),
+            max(when(expr("rn = (n + 1) DIV 2"), col("value"))).as("p50"),
+            max(when(expr("rn = (9 * n + 9) DIV 10"), col("value"))).as("p90"))
+          .collect().head
+        // reference: smallest value whose cumulative count reaches ceil(p*n),
+        // computed in exact rationals
+        val sorted = xs.sorted
+        def disc(num: Int, den: Int): Double =
+          sorted((num * sorted.size + den - 1) / den - 1)
+        got.getDouble(1) == disc(1, 4) &&
+          got.getDouble(2) == disc(1, 2) &&
+          got.getDouble(3) == disc(9, 10)
+      }
+    })
+  }
+
   test("property: TopKAggregator == sort-and-take reference per group") {
     import graft.functions.TopKAggregator
     val row = Gen.zip(keyGen, cents, Gen.choose(0L, 1000L))
