@@ -130,12 +130,14 @@ object LlmDataPipeline {
         // sequences. Both passes are narrow except the per-source packing
         // window.
         val ts = filter(split(lower(col("text")), " "), (w: Column) => w =!= "")
+        val cap = greatest(size(col("ts")).cast("long") - 64, lit(0L))
         val chunks = train
           .select(col("doc_id"), col("source"), ts.as("ts"))
           .select(col("doc_id"), col("source"), col("ts"),
-            explode(sequence(lit(0L),
-              greatest(size(col("ts")).cast("long") - 64, lit(0L)),
-              lit(32L))).as("chunk_start"))
+            // the final start (len-64) is always included, so no tail
+            // token is dropped even when the doc length is off-stride
+            explode(array_distinct(concat(
+              sequence(lit(0L), cap, lit(32L)), array(cap)))).as("chunk_start"))
           .select(col("doc_id"), col("source"), col("chunk_start"),
             slice(col("ts"), (col("chunk_start") + 1).cast("int"), lit(64))
               .as("chunk_toks"))

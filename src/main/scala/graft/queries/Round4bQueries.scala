@@ -294,18 +294,21 @@ object Round4bQueries {
     // here; width 2048, stride 1024 in a real run). One narrow pass:
     // tokenize, generate chunk starts with sequence(), slice the token
     // array per start — no shuffle, no UDF, and the chunk count per doc
-    // is ~len/stride regardless of corpus size.
+    // is ~len/stride regardless of corpus size. The final start
+    // (len - width) is always included even when off-stride, so NO tail
+    // token is ever dropped — a coverage law the property spec caught
+    // the stride-only version violating.
     QueryDef(
       "x86_chunking",
       (s, dir) => {
         val ts = filter(split(lower(col("text")), " "),
           (w: org.apache.spark.sql.Column) => w =!= "")
+        val cap = greatest(size(col("ts")).cast("long") - 10, lit(0L))
         Tables.documents(s, dir)
           .select(col("doc_id"), ts.as("ts"))
           .select(col("doc_id"), col("ts"),
-            explode(sequence(lit(0L),
-              greatest(size(col("ts")).cast("long") - 10, lit(0L)),
-              lit(5L))).as("chunk_start"))
+            explode(array_distinct(concat(
+              sequence(lit(0L), cap, lit(5L)), array(cap)))).as("chunk_start"))
           .select(col("doc_id"), col("chunk_start"),
             array_join(slice(col("ts"),
               (col("chunk_start") + 1).cast("int"), lit(10)), " ").as("chunk"))
@@ -317,8 +320,9 @@ object Round4bQueries {
              |  FROM documents),
              | chunks AS (
              |  SELECT doc_id, ts,
-             |         unnest(generate_series(0,
-             |           CAST(greatest(len(ts) - 10, 0) AS BIGINT), 5)) AS chunk_start
+             |         unnest(list_distinct(list_append(generate_series(0,
+             |           CAST(greatest(len(ts) - 10, 0) AS BIGINT), 5),
+             |           CAST(greatest(len(ts) - 10, 0) AS BIGINT)))) AS chunk_start
              |  FROM toks)
              |SELECT doc_id, chunk_start,
              |       array_to_string(list_slice(ts, chunk_start + 1, chunk_start + 10), ' ') AS chunk

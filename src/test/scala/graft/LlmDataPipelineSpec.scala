@@ -2,6 +2,7 @@ package graft
 
 import graft.examples.LlmDataPipeline
 import graft.operators.{Dedup, TextOps}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** End-to-end pipeline example: gates, dedup guarantee, decontamination,
@@ -35,13 +36,21 @@ class LlmDataPipelineSpec extends SparkSuite {
     assert(Dedup.ngramJaccardPairs(curated, 0.8).isEmpty)
     // and no exact duplicates
     assert(curated.groupBy(lower(col("text"))).count().filter(col("count") > 1).isEmpty)
-    // sequences: every train doc is chunked; chunks respect width/stride;
-    // per-source bins never exceed the 512-token budget except via a
-    // single chunk spanning a boundary (bin assignment uses the PRE-sum)
+    // sequences: every train doc is chunked; every chunk start is either
+    // on-stride or the tail start (no token dropped); chunk widths bounded
     val seqs = spark.read.parquet(s"$out/sequences")
     assert(seqs.select("doc_id").distinct().count() == train.count())
     assert(seqs.filter(col("n_tok") > 64 || col("n_tok") < 1).isEmpty)
-    assert(seqs.filter(col("chunk_start") % 32 =!= 0).isEmpty)
+    val trainTok = train.select(col("doc_id"),
+      size(filter(split(lower(col("text")), " "), (w: Column) => w =!= ""))
+        .cast("long").as("len"))
+    assert(seqs.join(trainTok, "doc_id")
+      .filter(col("chunk_start") % 32 =!= 0 &&
+        col("chunk_start") =!= greatest(col("len") - 64, lit(0L))).isEmpty)
+    // tail coverage: the last chunk of each doc ends at the doc's end
+    assert(seqs.join(trainTok, "doc_id")
+      .groupBy("doc_id", "len").agg(max(col("chunk_start") + col("n_tok")).as("covered"))
+      .filter(col("covered") =!= greatest(col("len"), lit(1L))).isEmpty)
     // decontamination: no non-benchmark curated doc has ≥50% of its
     // shingles covered by the benchmark shingle set
     val sh = TextOps.shingles(curated)

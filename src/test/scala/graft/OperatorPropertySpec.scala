@@ -176,6 +176,40 @@ class OperatorPropertySpec extends SparkSuite {
     })
   }
 
+  test("property: chunking covers every token and respects width/stride arithmetic") {
+    val word = Gen.oneOf("a", "bb", "ccc")
+    val doc = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val docsGen = Gen.listOfN(5, doc).map(_.zipWithIndex.map {
+      case (t, i) => (i.toLong, t) })
+    check(Prop.forAll(docsGen) { xs =>
+      import spark.implicits._
+      val df = xs.toDF("doc_id", "text")
+      val ts = filter(split(lower(col("text")), " "),
+        (w: org.apache.spark.sql.Column) => w =!= "")
+      val cap = greatest(size(col("ts")).cast("long") - 10, lit(0L))
+      val chunks = df.select(col("doc_id"), ts.as("ts"))
+        .select(col("doc_id"), col("ts"),
+          explode(array_distinct(concat(
+            sequence(lit(0L), cap, lit(5L)), array(cap)))).as("start"))
+        .select(col("doc_id"), col("start"),
+          slice(col("ts"), (col("start") + 1).cast("int"), lit(10)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2)))
+      xs.forall { case (id, text) =>
+        val toks = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+        val mine = chunks.filter(_._1 == id).sortBy(_._2)
+        val capV = math.max(toks.size - 10, 0).toLong
+        val wantStarts = ((0L to capV by 5L) :+ capV).distinct
+        mine.map(_._2).toSeq == wantStarts &&
+          // reassembling chunk tokens at their offsets reproduces the doc
+          mine.forall { case (_, s, c) =>
+            c == toks.slice(s.toInt, s.toInt + 10) } &&
+          // full coverage: every token index falls inside some chunk
+          toks.indices.forall(i => mine.exists { case (_, s, c) =>
+            i >= s && i < s + c.size })
+      }
+    })
+  }
+
   test("property: TopKAggregator == sort-and-take reference per group") {
     import graft.functions.TopKAggregator
     val row = Gen.zip(keyGen, cents, Gen.choose(0L, 1000L))
