@@ -54,14 +54,25 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver tail-captures stdout and r3's capture truncated mid-JSON
-    // (shutdown logging raced the final line). Belt and braces: persist the
-    // full JSON to a file, print it once before stop, and re-print it as
-    // the absolute last line after stop when no logger can interleave.
+    // The driver tail-captures only the LAST 2000 chars of stdout
+    // (measured from BENCH_r04.json), and the full-name query map alone is
+    // ~3.7 KB — the head of the JSON line was cut off in r3 AND r4, leaving
+    // "parsed": null both rounds. The full-precision, full-name JSON goes to
+    // a file; stdout gets a compact line that always fits the window: keys
+    // shortened to their id prefix (q01/x39 — the driver contract's own
+    // example uses "q1"), values rounded to ms. ~13 bytes/query keeps the
+    // line under 2 KB well past 140 queries.
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(json)
+    def ms(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qsShort = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
-    println(json)
+    println(compact)
   }
 }
