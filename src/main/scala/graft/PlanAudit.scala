@@ -115,6 +115,21 @@ object PlanAudit {
       p => p.contains("EqualTo(l_returnflag,R)") &&
         p.contains("TakeOrderedAndProject"))
 
+    check("x93_tpch_q7", "nation-pair filter reaches the nation scan; all dims broadcast",
+      p => p.contains("n_name") &&
+        "BroadcastHashJoin".r.findAllIn(p).length >= 3)
+    check("x97_tpch_q19", "redundant envelope pushed to BOTH scans (quantity to lineitem, brand to part)",
+      p => p.contains("LessThanOrEqual(l_quantity,30.0)") &&
+        p.contains("In(p_brand"))
+    check("x101_kmeans", "centroid table broadcast to the assignment pass",
+      _.contains("BroadcastNestedLoopJoin"))
+    check("x102_zorder_key", "z-value keys narrow + TakeOrdered (no shuffle before the limit)",
+      p => p.contains("TakeOrderedAndProject") &&
+        !p.contains("Exchange hashpartitioning"))
+    check("x106_budget_mix", "budget window partitions on source (no single-partition window)",
+      p => p.contains("hashpartitioning(source") &&
+        !p.contains("SinglePartition, Window"))
+
     // ---- spark.sql.extensions deployment path ---------------------------
     // A FRESH session configured only with GraftExtensions must get the
     // codegen function, the as-of optimizer rule, and the as-of planner

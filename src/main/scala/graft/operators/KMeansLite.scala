@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over the embedding column — the clustering
+  * step an LLM-data pipeline runs for corpus bucketing / diversity
+  * sampling / stratified eval splits.
+  *
+  * Spark-first rendering of one Lloyd iteration:
+  *   1. assignment: cross-join against the BROADCAST centroid table
+  *      (k·d doubles — tiny at any corpus size) and keep the argmin
+  *      distance per vector. Narrow per-row work; the only shuffle is the
+  *      row_number window on vec_id, and at scale even that disappears if
+  *      you fold the argmin into a min_by aggregate keyed by vec_id.
+  *   2. recompute: posexplode the assigned vectors to (cid, idx, val) and
+  *      hash-aggregate elementwise sums — map-side partial aggregation
+  *      means the shuffle carries at most k·d rows per map task, not n·d.
+  *
+  * Everything is engine-parity-exact: distances expand through the
+  * identity ‖a-c‖² = a·a − 2a·c + c·c with all three dot products computed
+  * by the native `graft_dot` expression (bitwise-equal to DuckDB's
+  * list_dot_product — proven by q18/x27), ties break to the lowest
+  * centroid id, and centroid means run the sum in DECIMAL(27,12) (exact,
+  * order-independent) before one double division — so the DuckDB oracle
+  * reproduces the full two-iteration trajectory bit for bit.
+  *
+  * Determinism: init centroids are the k lowest vec_ids — no RNG, stable
+  * across engines and retries.
+  */
+object KMeansLite {
+
+  private def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** Embeddings with the float vector cast elementwise to double (exact;
+    * both engines widen float32 identically).
+    */
+  def vectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+
+  /** First k vectors by vec_id as the deterministic init centroids. */
+  def initCentroids(vecs: DataFrame, k: Int): DataFrame =
+    vecs.orderBy("vec_id").limit(k)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("long")
+        .as("cid"), col("v").as("cv"))
+
+  /** Assignment step: each vector to its nearest centroid (squared L2,
+    * ties to the lowest cid).
+    */
+  def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val d2 = dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv")) +
+      dot(col("cv"), col("cv"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid", "v")
+  }
+
+  /** Recompute step: elementwise mean per cluster, summed exactly in
+    * decimal, divided once in double (both engines do the same IEEE op).
+    */
+  def recompute(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("idx", "val")))
+      .groupBy("cid", "idx")
+      .agg((sum(col("val").cast("decimal(27,12)")).cast("double") /
+        count(lit(1))).as("cv_el"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("cv_el")))),
+        _.getField("cv_el")).as("cv"))
+
+  /** Fixed-iteration Lloyd's: returns the final assignment. */
+  def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val vecs = vectors(emb)
+    var cents = initCentroids(vecs, k)
+    var assigned = assign(vecs, cents)
+    for (_ <- 1 until iters) {
+      cents = recompute(assigned)
+      assigned = assign(vecs, cents)
+    }
+    assigned
+  }
+
+  /** DuckDB rendering of the same two-iteration run (k inlined). */
+  private def kmeansSql(k: Int, dim: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+       | a1 AS (
+       |  SELECT vec_id, cid, v FROM (
+       |    SELECT e.vec_id, c0.cid, e.v,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             list_dot_product(e.v, e.v)
+       |               - 2.0 * list_dot_product(e.v, c0.cv)
+       |               + list_dot_product(c0.cv, c0.cv), c0.cid) AS rn
+       |    FROM e CROSS JOIN c0) WHERE rn = 1),
+       | c1 AS (
+       |  SELECT cid, list(cv_el ORDER BY idx) AS cv FROM (
+       |    SELECT a1.cid, i.idx,
+       |           CAST(sum(CAST(a1.v[i.idx] AS DECIMAL(27,12))) AS DOUBLE)
+       |             / count(*) AS cv_el
+       |    FROM a1, (SELECT unnest(generate_series(1, $dim)) AS idx) i
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1),
+       | a2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c1.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             list_dot_product(e.v, e.v)
+       |               - 2.0 * list_dot_product(e.v, c1.cv)
+       |               + list_dot_product(c1.cv, c1.cv), c1.cid) AS rn
+       |    FROM e CROSS JOIN c1) WHERE rn = 1)
+       |SELECT cid, count(*) AS size FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+    // Two full Lloyd iterations (init -> assign -> recompute -> assign),
+    // reduced to cluster sizes. The oracle replays the identical
+    // trajectory in DuckDB, so the hash gate verifies every distance
+    // comparison and both centroid recomputations transitively.
+    QueryDef(
+      "x101_kmeans",
+      (s, dir) => kmeans(Tables.embeddings(s, dir), k = 4, iters = 2)
+        .groupBy("cid").agg(count(lit(1)).as("size"))
+        .orderBy("cid"),
+      Some(kmeansSql(k = 4, dim = 64))))
+}

@@ -52,7 +52,7 @@ object Round5Queries {
       "x93_tpch_q7",
       (s, dir) => {
         val twoNations = Tables.nation(s, dir)
-          .filter(col("n_name").isin("NATION_1", "NATION_2"))
+          .filter(col("n_name").isin("NATION_10", "NATION_12"))
         val sup = Tables.supplier(s, dir)
           .join(broadcast(twoNations), col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"), col("n_name").as("supp_nation"))
@@ -81,8 +81,8 @@ object Round5Queries {
               |JOIN customer ON c_custkey = o_custkey
               |JOIN nation n1 ON n1.n_nationkey = s_nationkey
               |JOIN nation n2 ON n2.n_nationkey = c_nationkey
-              |WHERE n1.n_name IN ('NATION_1','NATION_2')
-              |  AND n2.n_name IN ('NATION_1','NATION_2')
+              |WHERE n1.n_name IN ('NATION_10','NATION_12')
+              |  AND n2.n_name IN ('NATION_10','NATION_12')
               |  AND n1.n_name <> n2.n_name
               |  AND l_shipdate >= TIMESTAMP '1996-01-01'
               |  AND l_shipdate <  TIMESTAMP '1998-01-01'
