@@ -62,8 +62,16 @@ object StreamingOps {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** @param sentinel additionally stage ONE far-future row (year 2030,
+    *   event_type "sentinel", latest mtime so it arrives last). A
+    *   watermark defined upstream of the event-type filters sees it, so
+    *   the final data batch provably expires every joined/outer state —
+    *   the staging analog of closing a kafka topic with a high-timestamp
+    *   control record. Consumers must filter event_type before emitting.
+    */
   private def stagedEventsStream(spark: SparkSession, dir: String,
-      byTime: Boolean = false, maxFilesPerTrigger: Int = 1): DataFrame = {
+      byTime: Boolean = false, maxFilesPerTrigger: Int = 1,
+      sentinel: Boolean = false): DataFrame = {
     val fileSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
@@ -88,7 +96,7 @@ object StreamingOps {
     val nFiles = if (byTime) 2 else 4
     val stageKey = java.lang.Long.toHexString(
       java.util.Objects.hash(dir, srcBytes, srcMtime).toLong & 0xffffffffL) +
-      (if (byTime) s"_t$nFiles" else "")
+      (if (byTime) s"_t$nFiles" else "") + (if (sentinel) "_s" else "")
     val staged = Paths.get(sys.props("java.io.tmpdir"), s"graft_stream_$stageKey")
     if (!Files.isDirectory(staged)) {
       val tmp = Paths.get(
@@ -113,6 +121,37 @@ object StreamingOps {
           Files.setLastModifiedTime(p,
             java.nio.file.attribute.FileTime.fromMillis(srcMtime + i * 1000L))
         }
+      }
+      if (sentinel) {
+        // TWO far-future rows (2030, 2031) as separate files with the
+        // latest pinned mtimes, replayed as the last two microbatches. A
+        // watermark update takes effect in the batch AFTER the one that
+        // observed it, and the engine's no-data batch that would apply a
+        // final update races processAllAvailable — so the 2031 batch is
+        // there to APPLY the 2030 watermark inside a real data batch,
+        // guaranteeing every pre-sentinel state entry is evicted (and its
+        // outer result emitted) before the drain returns.
+        import spark.implicits._
+        Seq(1893456000000000000L, 1924992000000000000L, 1956528000000000000L)
+          .zipWithIndex
+          .foreach { case (ns, i) =>
+            val sentTmp = Paths.get(tmp.toString + s"_sent$i")
+            Seq((-1L - i, ns, -1L, "sentinel", 0.0, ""))
+              .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+              .coalesce(1).write.parquet(sentTmp.toString)
+            val sentPart = {
+              val s = Files.list(sentTmp)
+              try s.iterator().asScala
+                .filter(_.getFileName.toString.startsWith("part-")).next()
+              finally s.close()
+            }
+            val dest = tmp.resolve(s"part-zzz$i-sentinel.parquet")
+            Files.move(sentPart, dest)
+            Files.setLastModifiedTime(dest, java.nio.file.attribute.FileTime
+              .fromMillis(srcMtime + (3600 + i * 3600) * 1000L))
+            Files.walk(sentTmp).sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(Files.delete)
+          }
       }
       try Files.move(tmp, staged, StandardCopyOption.ATOMIC_MOVE)
       catch {
@@ -238,6 +277,100 @@ object StreamingOps {
       q.processAllAvailable()
       q.stop()
       spark.table(sinkName).orderBy("click_id", "purchase_id")
+    }
+
+  /** Stream-stream LEFT OUTER interval join — x56's inner join plus the
+    * semantics only a watermark makes possible: a click with NO purchase
+    * inside its 30-minute horizon is emitted null-extended once the
+    * watermark proves no match can still arrive. That proof is the state-
+    * eviction contract (inner joins only ever drop state; outer joins
+    * must also EMIT on expiry), so this exercises a genuinely different
+    * engine path than x56.
+    *
+    * Drain-equals-batch needs one care: outer results emit only when the
+    * watermark passes click-time + horizon + delay, and a drained
+    * stream's watermark stops at max(ts) - delay — stranding the last
+    * ~1.5h of unmatched clicks in state. The staging therefore appends a
+    * far-future SENTINEL row (sentinel=true) whose watermark update
+    * expires every state entry inside a real data batch; the watermark
+    * is declared UPSTREAM of the event-type filters so it sees the
+    * sentinel, which the filters then drop from the join itself. The
+    * oracle is then the plain batch left join — no cutoff clause.
+    *
+    * Scale: state is bounded exactly as x56 (range condition + watermark);
+    * the sentinel is the file-source analog of a high-timestamp control
+    * record closing a kafka topic.
+    */
+  def streamStreamLeftOuterJoin(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame =
+    withShufflePartitions(spark, 8) {
+      // multipleWatermarkPolicy=max, scoped to this query (read once at
+      // query start). Measured on this drain: under the default min
+      // policy the global watermark wedges at (real-max − delay) — one
+      // branch's tracked max never registers the sentinel — leaving the
+      // final ~1.5h of outer state unflushed; under max it follows the
+      // sentinel and the drain equals the batch join. Max policy risks
+      // dropping late rows on the laggier branch IN GENERAL, but the
+      // byTime staging is RANGE-partitioned on ts with strictly
+      // increasing files, so no row can arrive below the other branch's
+      // watermark — lateness is structurally impossible here.
+      val prevPolicy =
+        spark.conf.get("spark.sql.streaming.multipleWatermarkPolicy", "min")
+      spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+      try {
+      // ONE staged source branched into both sides (a stream self-join):
+      // two independent readers of the same directory are NOT guaranteed
+      // to consume files in lockstep, and the side that finishes early
+      // strands the global (min-policy) watermark below the sentinel —
+      // observed as the last ~1.5h of outer rows never flushing. A single
+      // source advances both watermark nodes batch-for-batch.
+      val base = stagedEventsStream(spark, dir, byTime = true,
+          sentinel = true)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      def side(tag: String) = base
+        .select(col("user_id").as(s"${tag}_uid"),
+          col("event_id").as(s"${tag}_id"),
+          col("ts").as(s"${tag}_ts"),
+          col("event_type").as(s"${tag}_type"))
+      // The type predicates must let the sentinel THROUGH: Catalyst pushes
+      // non-event-time predicates below the EventTimeWatermark node, so a
+      // plain type filter would drop the sentinel before the watermark
+      // tracker ever saw it (and the final 1.5h of outer state would
+      // never flush). The sentinel pair joins only itself (user -1) and
+      // is removed after the join by its negative id.
+      val clicks = side("c").withWatermark("c_ts", "1 hour")
+        .filter(col("c_type").isin("click", "sentinel"))
+      val purchases = side("p").withWatermark("p_ts", "1 hour")
+        .filter(col("p_type").isin("purchase", "sentinel"))
+      spark.catalog.dropTempView(sinkName)
+      val q = clicks.join(purchases,
+          col("c_uid") === col("p_uid") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+          "leftOuter")
+        .select(col("c_id").as("click_id"), col("p_id").as("purchase_id"))
+        .filter(col("click_id") >= 0)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      q.processAllAvailable()
+      // The sentinel's watermark jump is APPLIED by a no-data microbatch
+      // that runs after processAllAvailable returns — the batch that
+      // emits the final outer rows. Wait for the sink to quiesce (count
+      // stable across 3 polls) instead of racing it with stop().
+      var prev = -1L; var same = 0; var iters = 0
+      while (same < 3 && iters < 80) {
+        val c = spark.table(sinkName).count()
+        if (c == prev) same += 1 else { same = 0; prev = c }
+        Thread.sleep(250); iters += 1
+      }
+      q.stop()
+      spark.table(sinkName)
+        .orderBy(asc_nulls_first("click_id"), asc_nulls_first("purchase_id"))
+      } finally spark.conf.set(
+        "spark.sql.streaming.multipleWatermarkPolicy", prevPolicy)
     }
 
   /** Bounded drain with checkpointed restart: `Trigger.AvailableNow`
@@ -475,6 +608,16 @@ object StreamingOps {
              | AND c.event_type = 'click' AND p.event_type = 'purchase'
              | AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + 1800000000
              |ORDER BY click_id, purchase_id""".stripMargin)),
+
+    QueryDef(
+      "x114_stream_outer_join",
+      (s, dir) => streamStreamLeftOuterJoin(s, dir, "x114_stream_outer_sink"),
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id
+             |FROM events c LEFT JOIN events p
+             |  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+             | AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + 1800000000
+             |WHERE c.event_type = 'click'
+             |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin)),
 
     QueryDef(
       "x85_stream_static",
