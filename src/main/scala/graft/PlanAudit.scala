@@ -129,6 +129,29 @@ object PlanAudit {
     check("x106_budget_mix", "budget window partitions on source (no single-partition window)",
       p => p.contains("hashpartitioning(source") &&
         !p.contains("SinglePartition, Window"))
+    check("x107_tpch_q2", "correlated-min window partitions on the part key",
+      p => p.contains("hashpartitioning(l_partkey") ||
+        p.contains("hashpartitioning(p_partkey"))
+    check("x107_tpch_q2", "supplier/region and part arms broadcast",
+      p => "BroadcastHashJoin".r.findAllIn(p).length >= 2)
+    check("x108_tpch_q4", "EXISTS planned as LeftSemi",
+      _.contains("LeftSemi"))
+    check("x108_tpch_q4", "order-quarter predicate pushed to the orders scan",
+      _.contains("GreaterThanOrEqual(o_orderdate"))
+    check("x110_tpch_q12", "fact-fact edge is SortMergeJoin (merge-hinted)",
+      _.contains("SortMergeJoin"))
+    check("x110_tpch_q12", "ship-year predicate pushed to the lineitem scan",
+      _.contains("GreaterThanOrEqual(l_shipdate"))
+    check("x111_tpch_q16", "supplier exclusion is a broadcast LeftAnti",
+      p => p.contains("LeftAnti") && p.contains("BroadcastHashJoin"))
+    check("x113_passage_dedup", "spread join keyed on the passage",
+      p => p.contains("passage#") && p.contains("Join"))
+    check("x115_salted_join", "join keys include the salt (hot key spread across reducers)",
+      p => p.contains("salt#") && p.contains("Join"))
+    check("x116_graph_centrality", "matvec is an equi-join (no cartesian)",
+      p => p.contains("Join") && !p.contains("CartesianProduct"))
+    check("x117_winsorize", "percentile bands broadcast back to the fact",
+      _.contains("BroadcastHashJoin"))
 
     // ---- spark.sql.extensions deployment path ---------------------------
     // A FRESH session configured only with GraftExtensions must get the
