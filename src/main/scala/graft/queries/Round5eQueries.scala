@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 batch 5: warehouse/engine surface — SCD type-2 interval build
+  * and the typed cogroup operator (KeyValueGroupedDataset.cogroup, the
+  * Dataset API's grouped multi-input primitive).
+  */
+object Round5eQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // SCD type-2 dimension build: per user, each CHANGE of event_type
+    // opens a validity interval [valid_from, valid_to) closed by the next
+    // change (null = current). lag detects the change rows, lead closes
+    // them — two window passes over the same (user_id, ts) partition
+    // order, ONE shuffle. Timestamp/integer-exact. Scale: partitions on
+    // user_id; no global window; the dimension born from 100 TB of fact
+    // history is |users| × |changes| rows.
+    QueryDef(
+      "x118_scd2",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val changes = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+          .filter(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+        changes
+          .withColumn("valid_to", lead(col("ts"), 1).over(
+            Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+          .select(col("user_id"), col("event_type"),
+            col("ts").as("valid_from"), col("valid_to"))
+          .orderBy("user_id", "valid_from")
+      },
+      Some("""WITH ordered AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |         lag(event_type) OVER w AS prev_type
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             | changes AS (
+             |  SELECT user_id, ts, event_id, event_type FROM ordered
+             |  WHERE prev_type IS NULL OR prev_type <> event_type)
+             |SELECT user_id, event_type, ts AS valid_from,
+             |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |         AS valid_to
+             |FROM changes
+             |ORDER BY user_id, valid_from""".stripMargin)),
+
+    // Typed cogroup (KeyValueGroupedDataset.cogroup): both inputs grouped
+    // on the same key, one function over the two per-key iterators — the
+    // Dataset API's multi-input grouped primitive (the reference's
+    // branching-input stateful stage in typed form). Here: per-key
+    // activity profile across two fact tables. Scale: cogroup
+    // co-partitions both sides on the key in one exchange each — same
+    // shuffle plan as a join, but the UDF sees grouped iterators instead
+    // of a row stream (the escape hatch when per-key logic isn't
+    // expressible relationally). The oracle is the relational rendering
+    // (full outer join of two aggregates), proving the typed and
+    // declarative paths agree.
+    QueryDef(
+      "x120_cogroup",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id")).as[(Long, Long)]
+          .groupByKey(_._1)
+        val ord = Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey")).as[(Long, Long)]
+          .groupByKey(_._1)
+        ev.cogroup(ord) { (k, evs, ords) =>
+            val ne = evs.size.toLong
+            val no = ords.size.toLong
+            Iterator((k, ne, no))
+          }
+          .toDF("user_id", "n_events", "n_orders")
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, count(*) AS n_events
+             |          FROM events GROUP BY 1),
+             | o AS (SELECT o_custkey AS user_id, count(*) AS n_orders
+             |       FROM orders GROUP BY 1)
+             |SELECT coalesce(e.user_id, o.user_id) AS user_id,
+             |       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+             |       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders
+             |FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+             |ORDER BY 1""".stripMargin))
+  )
+}

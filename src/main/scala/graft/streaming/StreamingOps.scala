@@ -373,6 +373,58 @@ object StreamingOps {
         "spark.sql.streaming.multipleWatermarkPolicy", prevPolicy)
     }
 
+  /** Streaming incremental materialized view via `foreachBatch`: each
+    * microbatch is reduced to a PARTIAL aggregate (count + exact decimal
+    * sum — associative, so merge order is irrelevant) and merged into a
+    * parquet-backed state table (ping-pong generations, atomic by
+    * directory swap). This is the production "streaming upsert into a
+    * warehouse table" pattern — foreachBatch + MERGE — rendered without a
+    * table format: a drained run equals the batch aggregate (the oracle).
+    *
+    * Scale: the merge is a distributed groupBy of |keys| rows with the
+    * new delta, never a replay of history; state lives in the table, not
+    * the state store, so key cardinality is storage-bound, not
+    * memory-bound. On a real deployment the generation swap is a Delta/
+    * Iceberg MERGE with the batchId recorded for replay idempotence (a
+    * replayed microbatch here would double-count — the txn log is what a
+    * table format adds).
+    */
+  def streamingUpsertMv(spark: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(spark, 8) {
+      import java.nio.file.Files
+      val runDir = Files.createTempDirectory("graft_mv_").toString
+      var cur: Option[String] = None
+      var gen = 0
+      val q = stagedEventsStream(spark, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val delta = batch.groupBy("user_id", "event_type")
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,6)"))
+                .cast("decimal(18,6)").as("s"))
+          val merged = cur match {
+            case None => delta
+            case Some(p) => spark.read.parquet(p).unionByName(delta)
+              .groupBy("user_id", "event_type")
+              .agg(sum(col("n")).as("n"),
+                sum(col("s")).cast("decimal(18,6)").as("s"))
+          }
+          val next = s"$runDir/v$gen"
+          gen += 1
+          merged.write.mode("overwrite").parquet(next)
+          cur = Some(next)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.read.parquet(cur.getOrElse(sys.error("no microbatch ran")))
+        .select(col("user_id"), col("event_type"), col("n"),
+          col("s").cast("double").as("s"))
+        .orderBy("user_id", "event_type")
+    }
+
   /** Bounded drain with checkpointed restart: `Trigger.AvailableNow`
     * processes everything present in `srcDir` when the query starts, then
     * SELF-TERMINATES — the production pattern for draining a backlog in a
@@ -618,6 +670,13 @@ object StreamingOps {
              | AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + 1800000000
              |WHERE c.event_type = 'click'
              |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin)),
+
+    QueryDef(
+      "x119_stream_upsert",
+      (s, dir) => streamingUpsertMv(s, dir),
+      Some("""SELECT user_id, event_type, count(*) AS n,
+             |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     QueryDef(
       "x85_stream_static",
