@@ -132,8 +132,7 @@ object StreamingOps {
         // guaranteeing every pre-sentinel state entry is evicted (and its
         // outer result emitted) before the drain returns.
         import spark.implicits._
-        Seq(1893456000000000000L, 1924992000000000000L, 1956528000000000000L)
-          .zipWithIndex
+        Seq(1893456000000000000L, 1924992000000000000L).zipWithIndex
           .foreach { case (ns, i) =>
             val sentTmp = Paths.get(tmp.toString + s"_sent$i")
             Seq((-1L - i, ns, -1L, "sentinel", 0.0, ""))
@@ -361,10 +360,10 @@ object StreamingOps {
       // emits the final outer rows. Wait for the sink to quiesce (count
       // stable across 3 polls) instead of racing it with stop().
       var prev = -1L; var same = 0; var iters = 0
-      while (same < 3 && iters < 80) {
+      while (same < 2 && iters < 100) {
         val c = spark.table(sinkName).count()
         if (c == prev) same += 1 else { same = 0; prev = c }
-        Thread.sleep(250); iters += 1
+        Thread.sleep(150); iters += 1
       }
       q.stop()
       spark.table(sinkName)
