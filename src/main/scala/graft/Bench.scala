@@ -66,11 +66,30 @@ object Bench {
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     def ms(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qsShort = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
-      .mkString("{", ",", "}")
+    def shortLine(rs: Seq[(String, Double)], note: String): String = {
+      val qs = rs.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec"$note,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Keep the stdout line under ~1.9 KB no matter how the suite grows
+    // (sbt's trailing "[success]" line eats ~100 B of the driver's 2 KB
+    // tail): if the full map would overflow, emit only the slowest
+    // queries that fit and say how many were elided (full precision is
+    // always in target/bench.json).
+    val fullLine = shortLine(results, "")
     val compact =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}"""
+      if (fullLine.length <= 1900) fullLine
+      else {
+        val bySlow = results.sortBy(-_._2)
+        var keep = bySlow.length
+        var line = fullLine
+        while (line.length > 1900 && keep > 10) {
+          keep -= 10
+          line = shortLine(bySlow.take(keep).sortBy(_._1),
+            s""","elided":${results.length - keep}""")
+        }
+        line
+      }
     println(compact)
     spark.stop()
     println(compact)

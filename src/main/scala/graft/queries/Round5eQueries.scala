@@ -87,6 +87,50 @@ object Round5eQueries {
              |       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
              |       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders
              |FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // Incremental-crawl ingestion dedup: new batches (sources src10+)
+    // screened against the EXISTING corpus's exact content fingerprints —
+    // the keep-only-novel pass an ongoing crawl runs before anything else
+    // touches a new snapshot (whole-corpus re-dedup would be quadratic in
+    // crawl count). Per new source: arrivals, novel vs existing corpus
+    // (anti semantics), and novel-after-in-batch-dedup (first batch
+    // occurrence wins). Scale: fingerprint anti join hash-partitions on
+    // md5; the existing-corpus side streams from its fingerprint store —
+    // nothing rescans old text.
+    QueryDef(
+      "x121_incremental_ingest",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("fp", md5(col("text")))
+        val isNew = length(col("source")) > lit(4) // src10..src19
+        val existing = docs.filter(!isNew).select("fp").distinct()
+        val fresh = docs.filter(isNew)
+        val novel = fresh.join(existing, Seq("fp"), "left_anti")
+        novel
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_novel"),
+            countDistinct(col("fp")).as("n_unique_novel"))
+          .join(fresh.groupBy("source").agg(count(lit(1)).as("n_arrived")),
+            Seq("source"), "right")
+          .select(col("source"), col("n_arrived"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            coalesce(col("n_unique_novel"), lit(0L)).as("n_unique_novel"))
+          .orderBy("source")
+      },
+      Some("""WITH f AS (SELECT source, md5(text) AS fp FROM documents),
+             | ex AS (SELECT DISTINCT fp FROM f WHERE length(source) <= 4),
+             | nw AS (SELECT * FROM f WHERE length(source) > 4),
+             | novel AS (SELECT * FROM nw WHERE fp NOT IN (SELECT fp FROM ex))
+             |SELECT nw.source,
+             |       count(*) AS n_arrived,
+             |       CAST(coalesce(max(nv.n_novel), 0) AS BIGINT) AS n_novel,
+             |       CAST(coalesce(max(nv.n_unique_novel), 0) AS BIGINT)
+             |         AS n_unique_novel
+             |FROM nw LEFT JOIN (
+             |  SELECT source, count(*) AS n_novel,
+             |         count(DISTINCT fp) AS n_unique_novel
+             |  FROM novel GROUP BY 1) nv ON nw.source = nv.source
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
