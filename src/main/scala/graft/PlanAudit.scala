@@ -152,6 +152,16 @@ object PlanAudit {
       p => p.contains("Join") && !p.contains("CartesianProduct"))
     check("x117_winsorize", "percentile bands broadcast back to the fact",
       _.contains("BroadcastHashJoin"))
+    check("x118_scd2", "change/close windows partition on user_id (no single-partition window)",
+      p => p.contains("hashpartitioning(user_id") &&
+        !p.contains("SinglePartition, Window"))
+    check("x120_cogroup", "cogroup co-partitions both inputs on the key",
+      p => "hashpartitioning".r.findAllIn(p).length >= 2 &&
+        p.contains("CoGroup"))
+    check("x121_incremental_ingest", "fingerprint screen is an anti join",
+      _.contains("LeftAnti"))
+    check("x116_graph_centrality", "factorized matvec: no quadratic pair explode",
+      p => !p.toLowerCase.contains("generate explode"))
 
     // ---- spark.sql.extensions deployment path ---------------------------
     // A FRESH session configured only with GraftExtensions must get the
