@@ -88,8 +88,10 @@ object KMeansLite {
     assigned
   }
 
-  /** DuckDB rendering of the same two-iteration run (k inlined). */
-  private def kmeansSql(k: Int, dim: Int): String =
+  /** DuckDB rendering of the same two-iteration run (k inlined) — the
+    * CTE chain up to the final assignment `a2`, shared by x101 and x122.
+    */
+  private def kmeansCtesSql(k: Int, dim: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        | c0 AS (
@@ -118,7 +120,10 @@ object KMeansLite {
        |             list_dot_product(e.v, e.v)
        |               - 2.0 * list_dot_product(e.v, c1.cv)
        |               + list_dot_product(c1.cv, c1.cv), c1.cid) AS rn
-       |    FROM e CROSS JOIN c1) WHERE rn = 1)
+       |    FROM e CROSS JOIN c1) WHERE rn = 1)""".stripMargin
+
+  private def kmeansSql(k: Int, dim: Int): String =
+    s"""${kmeansCtesSql(k, dim)}
        |SELECT cid, count(*) AS size FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Seq[QueryDef] = Seq(
@@ -131,5 +136,44 @@ object KMeansLite {
       (s, dir) => kmeans(Tables.embeddings(s, dir), k = 4, iters = 2)
         .groupBy("cid").agg(count(lit(1)).as("size"))
         .orderBy("cid"),
-      Some(kmeansSql(k = 4, dim = 64))))
+      Some(kmeansSql(k = 4, dim = 64))),
+
+    // SemDeDup (Abbas et al. 2023) shape: cluster the embedding space,
+    // then search near-duplicates ONLY within each cluster — the
+    // quadratic pair scan shrinks from |corpus|² to Σ|cluster|², the
+    // trade being cross-cluster pairs are unseen by design. The pair
+    // pass is a declarative self-join co-partitioned on cid with the
+    // fused codegen cosine; the oracle replays the full k-means
+    // trajectory AND the in-cluster pair scan, so the gate verifies the
+    // clustering and the pruned dedup transitively. Scale: per-cluster
+    // pair fan-out is the bucket-size knob (raise k); the cross-cluster
+    // recall loss vs the exact x05/x39 pairs is the documented SemDeDup
+    // trade.
+    QueryDef(
+      "x122_semdedup",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val assigned = kmeans(Tables.embeddings(s, dir), k = 4, iters = 2)
+        val a = assigned.select(col("cid"), col("vec_id").as("a"),
+          col("v").as("va"))
+        val b = assigned.select(col("cid"), col("vec_id").as("b"),
+          col("v").as("vb"))
+        a.join(b, Seq("cid")).filter(col("a") < col("b"))
+          .withColumn("cos_sim",
+            round(call_function("graft_cosine", col("va"), col("vb")), 6))
+          .filter(col("cos_sim") >= 0.45)
+          .select("cid", "a", "b", "cos_sim")
+          .orderBy("a", "b")
+      },
+      Some(s"""${kmeansCtesSql(k = 4, dim = 64)}
+              |SELECT cid, a, b, cos_sim FROM (
+              |  SELECT ax.cid, ax.vec_id AS a, ay.vec_id AS b,
+              |         round(list_dot_product(x.v, y.v)
+              |           / (sqrt(list_dot_product(x.v, x.v))
+              |            * sqrt(list_dot_product(y.v, y.v))), 6) AS cos_sim
+              |  FROM a2 ax JOIN a2 ay
+              |    ON ax.cid = ay.cid AND ax.vec_id < ay.vec_id
+              |  JOIN e x ON x.vec_id = ax.vec_id
+              |  JOIN e y ON y.vec_id = ay.vec_id) p
+              |WHERE cos_sim >= 0.45 ORDER BY a, b""".stripMargin)))
 }

@@ -91,4 +91,14 @@ class Round5OpsSpec extends SparkSuite {
     val bf = df.stat.bloomFilter("k", 2000L, 0.01)
     assert(keys.forall(bf.mightContainString), "every inserted key must test positive")
   }
+
+  test("semdedup pairs are a non-vacuous subset of the exact all-pairs result") {
+    val sem = SparkEntry.queries("x122_semdedup")(spark, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("x05_embedding_neardup")(spark, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.nonEmpty, "no in-cluster near-dup pairs in fixture")
+    assert(sem.subsetOf(exact),
+      s"semdedup produced pairs the exact scan lacks: ${sem -- exact}")
+  }
 }
