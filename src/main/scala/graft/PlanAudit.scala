@@ -162,6 +162,8 @@ object PlanAudit {
       _.contains("LeftAnti"))
     check("x116_graph_centrality", "factorized matvec: no quadratic pair explode",
       p => !p.toLowerCase.contains("generate explode"))
+    check("x123_custom_source", "DSv2 id-range pushdown narrows generation at planning time",
+      _.contains("range=[1000,50000)"))
 
     // ---- spark.sql.extensions deployment path ---------------------------
     // A FRESH session configured only with GraftExtensions must get the

@@ -131,6 +131,35 @@ object Round5eQueries {
              |  SELECT source, count(*) AS n_novel,
              |         count(DISTINCT fp) AS n_unique_novel
              |  FROM novel GROUP BY 1) nv ON nw.source = nv.source
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Custom DataSourceV2 connector end-to-end: the deterministic
+    // producer source (graft.sources.ProducerSource) read through the
+    // full connector path — schema inference, 8 split partitions, column
+    // pruning, and id-range filter pushdown that narrows generation
+    // BEFORE any row exists (plan-audited). The DuckDB oracle replays
+    // the same pure function over generate_series, so the gate verifies
+    // the connector's row generation, partitioning and pushdown
+    // semantics end-to-end.
+    QueryDef(
+      "x123_custom_source",
+      (s, dir) => {
+        s.read.format("graft.sources.ProducerSource")
+          .option("count", "100000").option("partitions", "8").load()
+          .filter(col("id") >= 1000L && col("id") < 50000L)
+          .groupBy((col("id") % 7).as("g"))
+          .agg(count(lit(1)).as("n"), sum(col("amount")).as("amt"),
+            countDistinct(col("label")).as("nl"))
+          .orderBy("g")
+      },
+      Some("""WITH p AS (
+             |  SELECT id, (id * 31 + 7) % 1000 AS amount,
+             |         'l' || CAST(id % 5 AS VARCHAR) AS label
+             |  FROM (SELECT unnest(generate_series(0, 99999)) AS id))
+             |SELECT id % 7 AS g, count(*) AS n,
+             |       CAST(sum(amount) AS BIGINT) AS amt,
+             |       CAST(count(DISTINCT label) AS BIGINT) AS nl
+             |FROM p WHERE id >= 1000 AND id < 50000
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -40,6 +40,25 @@ class Round5eSpec extends SparkSuite {
       batch.exceptAll(mv).count() == 0)
   }
 
+  test("producer source pushes id-range filters into row generation") {
+    val df = spark.read.format("graft.sources.ProducerSource")
+      .option("count", "100000").option("partitions", "8").load()
+      .filter(col("id") >= 1000L && col("id") < 50000L)
+      .select("id", "amount")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // planning-time narrowing: the scan's own description carries the
+    // pushed range and the pruned column set
+    assert(plan.contains("range=[1000,50000)"), plan.take(800))
+    assert(plan.contains("cols=id,amount"), plan.take(800))
+    assert(df.count() == 49000)
+    // generation honors the range: no out-of-range row is ever produced
+    val mm = df.agg(min(col("id")), max(col("id"))).head
+    assert(mm.getLong(0) == 1000L && mm.getLong(1) == 49999L)
+    // split into the requested number of input partitions
+    assert(df.rdd.getNumPartitions == 8)
+  }
+
   test("cogroup matches the relational full-outer rendering") {
     val typed = SparkEntry.queries("x120_cogroup")(spark, sfDir)
     val e = Tables.events(spark, sfDir).groupBy("user_id")
