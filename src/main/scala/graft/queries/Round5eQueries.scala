@@ -160,6 +160,50 @@ object Round5eQueries {
              |       CAST(sum(amount) AS BIGINT) AS amt,
              |       CAST(count(DISTINCT label) AS BIGINT) AS nl
              |FROM p WHERE id >= 1000 AND id < 50000
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exact distinct-count over a sliding window — the aggregate Spark's
+    // window functions famously refuse (`countDistinct` over a frame):
+    // rendered as per-bucket user SETS, then a range-frame union
+    // (flatten + array_distinct) over the trailing 3 hourly buckets.
+    // Distinctness doesn't decompose into per-bucket counts, so the sets
+    // are the minimal carried state — the same shape a 100 TB run uses,
+    // with sets swapped for HLL sketches when the per-bucket user count
+    // itself is cluster-sized (x16's approx twin). The range frame is on
+    // the hour INDEX, so calendar gaps are handled (rowsBetween would
+    // silently span them). Oracle: DuckDB's native count(DISTINCT) via
+    // correlated interval subqueries.
+    QueryDef(
+      "x124_window_distinct",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"),
+            date_trunc("hour", col("ts")).as("h"), col("user_id"))
+        val buckets = ev.groupBy("event_type", "h")
+          .agg(collect_set(col("user_id")).as("us"),
+            countDistinct(col("user_id")).as("nd"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+          .orderBy((col("h").cast("long") / 3600).cast("long"))
+          .rangeBetween(-2, 0)
+        buckets
+          .withColumn("nd3",
+            size(array_distinct(flatten(collect_list(col("us")).over(w))))
+              .cast("long"))
+          .select("event_type", "h", "nd", "nd3")
+          .orderBy("event_type", "h")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS h, user_id
+             |  FROM events),
+             | b AS (SELECT DISTINCT event_type, h FROM ev)
+             |SELECT b.event_type, b.h,
+             |       (SELECT count(DISTINCT user_id) FROM ev e
+             |        WHERE e.event_type = b.event_type AND e.h = b.h) AS nd,
+             |       CAST((SELECT count(DISTINCT user_id) FROM ev e
+             |        WHERE e.event_type = b.event_type
+             |          AND e.h BETWEEN b.h - INTERVAL 2 HOUR AND b.h)
+             |         AS BIGINT) AS nd3
+             |FROM b ORDER BY 1, 2""".stripMargin))
   )
 }
