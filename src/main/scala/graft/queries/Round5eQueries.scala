@@ -204,6 +204,41 @@ object Round5eQueries {
              |        WHERE e.event_type = b.event_type
              |          AND e.h BETWEEN b.h - INTERVAL 2 HOUR AND b.h)
              |         AS BIGINT) AS nd3
-             |FROM b ORDER BY 1, 2""".stripMargin))
+             |FROM b ORDER BY 1, 2""".stripMargin)),
+
+    // Deterministic stratified train/val/test split — the dataset-freeze
+    // op every training run needs: assignment is a pure function of
+    // (doc_id, seed) via an md5-prefix band (~80/10/10), so it is
+    // reproducible across runs, partitionings, retries, AND engines
+    // (`rand()` is none of those); stratification falls out of the
+    // per-source report. Scale: a narrow map plus one aggregate — the
+    // split of a 100 TB corpus is the same one-pass predicate, and any
+    // doc's split can be recomputed standalone (no global state).
+    QueryDef(
+      "x125_train_split",
+      (s, dir) => {
+        val h = md5(concat_ws("|", col("doc_id").cast("string"),
+          lit("split-seed-1")))
+        val split = when(substring(h, 1, 2) < "cd", "train")
+          .when(substring(h, 1, 2) < "e6", "val")
+          .otherwise("test")
+        Tables.documents(s, dir)
+          .withColumn("split", split)
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text")).cast("long")).as("chars"))
+          .orderBy("source", "split")
+      },
+      Some("""SELECT source, split, count(*) AS n,
+             |       CAST(sum(length(text)) AS BIGINT) AS chars
+             |FROM (
+             |  SELECT source, text,
+             |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+             |                    'split-seed-1'), 1, 2) < 'cd' THEN 'train'
+             |              WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+             |                    'split-seed-1'), 1, 2) < 'e6' THEN 'val'
+             |              ELSE 'test' END AS split
+             |  FROM documents) t
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
