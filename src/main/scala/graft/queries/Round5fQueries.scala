@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 batch 6: maximal duplicated-span detection — the exact-substring
+  * dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+  * Language Models Better"), whose suffix-array output is re-expressed
+  * relationally: overlapping k-grams shared across documents, merged into
+  * MAXIMAL per-doc spans by a gaps-and-islands pass.
+  */
+object Round5fQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Per doc: the number of maximal duplicated spans (runs of 5-gram
+    // positions whose gram also appears in another document, merged while
+    // consecutive duplicated grams overlap or touch) and the token mass
+    // those spans cover — what substring-level dedup would cut. Differs
+    // from x113 (disjoint passages, per-passage flags): here grams
+    // OVERLAP, so the merge step is what produces maximal spans, exactly
+    // the suffix-array result for matches ≥ k tokens. Integer-exact.
+    // Scale: one wide exchange on the gram (hash it at 100 TB), one
+    // doc-partitioned window for the island merge; nothing quadratic.
+    QueryDef(
+      "x126_dup_spans",
+      (s, dir) => {
+        val k = 5
+        val toks = filter(split(lower(col("text")), " "),
+          (w: Column) => w =!= "")
+        val grams = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
+          .withColumn("gram", {
+            val win = Window.partitionBy("doc_id").orderBy("pos")
+            (1 until k).foldLeft(col("w")) { (acc, i) =>
+              concat(acc, lit(" "), lead(col("w"), i).over(win))
+            }
+          })
+          .filter(col("gram").isNotNull)
+        val spread = grams.groupBy("gram")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        val dup = grams.join(spread, "gram").filter(col("nd") > 1)
+          .select("doc_id", "pos")
+        val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+        val spans = dup
+          .withColumn("newSpan",
+            when(col("pos") >
+              lag(col("pos"), 1, -1000000).over(byDoc) + k, 1L)
+              .otherwise(0L))
+          .withColumn("island",
+            sum(col("newSpan")).over(byDoc.rowsBetween(
+              Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "island")
+          .agg((max(col("pos")) + k - min(col("pos"))).as("len"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"), sum(col("len")).as("dup_tokens"))
+        Tables.documents(s, dir).select("doc_id")
+          .join(spans, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) - 1 AS pos,
+             |         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+             |  FROM documents),
+             | grams AS (
+             |  SELECT doc_id, pos,
+             |         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+             |           || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS gram
+             |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+             | g AS (SELECT doc_id, pos, gram FROM grams WHERE gram IS NOT NULL),
+             | spread AS (
+             |  SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+             | dup AS (SELECT doc_id, pos FROM g JOIN spread USING (gram)),
+             | marked AS (
+             |  SELECT doc_id, pos,
+             |         CASE WHEN pos > coalesce(lag(pos) OVER w2, -1000000) + 5
+             |              THEN 1 ELSE 0 END AS newSpan
+             |  FROM dup WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)),
+             | islands AS (
+             |  SELECT doc_id, pos,
+             |         sum(newSpan) OVER (PARTITION BY doc_id ORDER BY pos
+             |           ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM marked),
+             | spans AS (
+             |  SELECT doc_id, island, max(pos) + 5 - min(pos) AS len
+             |  FROM islands GROUP BY 1, 2),
+             | per_doc AS (
+             |  SELECT doc_id, count(*) AS n_spans, sum(len) AS dup_tokens
+             |  FROM spans GROUP BY 1)
+             |SELECT d.doc_id,
+             |       CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+             |       CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens
+             |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+             |ORDER BY 1""".stripMargin))
+  )
+}

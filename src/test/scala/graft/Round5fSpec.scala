@@ -1,0 +1,41 @@
+package graft
+
+/** x126 duplicated-span law: full driver-side recomputation (grams →
+  * cross-doc spread → island merge) compared row-for-row, plus the span
+  * geometry invariant.
+  */
+class Round5fSpec extends SparkSuite {
+
+  test("dup spans equal a driver-side reference computation") {
+    val k = 5
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val grams = texts.map { case (id, t) =>
+      val ts = t.toLowerCase.split(" ").filter(_.nonEmpty)
+      id -> ts.indices.dropRight(k - 1).map(p =>
+        p -> ts.slice(p, p + k).mkString(" "))
+    }
+    val docsOf = grams.flatMap { case (id, gs) => gs.map { case (_, g) => g -> id } }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val want = grams.map { case (id, gs) =>
+      val dupPos = gs.collect { case (p, g) if docsOf(g) > 1 => p }.sorted
+      // island merge: new span when gap > k
+      var spans = List.empty[(Int, Int)] // (start, lastPos)
+      dupPos.foreach { p =>
+        spans match {
+          case (s0, last) :: rest if p <= last + k => spans = (s0, p) :: rest
+          case _ => spans = (p, p) :: spans
+        }
+      }
+      val lens = spans.map { case (s0, last) => last + k - s0 }
+      id -> ((spans.size.toLong, lens.map(_.toLong).sum))
+    }.toMap
+    val got = SparkEntry.queries("x126_dup_spans")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    // geometry: every span covers at least k tokens
+    assert(got.values.forall { case (n, tok) => tok >= n * k })
+    assert(got.values.map(_._1).sum > 0, "fixture should contain dup spans")
+  }
+}
