@@ -97,6 +97,34 @@ object Round5fQueries {
              |       CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
              |       CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens
              |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // Rank-based quantile normalization per group — the ML-preprocessing
+    // transform that maps each value to its empirical percentile
+    // (rank−1)/(n−1) with a DETERMINISTIC tiebreak (value, event_id), so
+    // the output is a pure function of the data: one double division of
+    // exact integers, engine-identical with no rounding step. Scale: one
+    // window per group partition; rank and count share the same sort.
+    QueryDef(
+      "x127_quantile_norm",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))
+        val n = Window.partitionBy("event_type")
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+            ((row_number().over(w) - 1).cast("double") /
+              (count(lit(1)).over(n) - 1)).as("pct"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type,
+             |       CAST(rn - 1 AS DOUBLE) / (n - 1) AS pct
+             |FROM (
+             |  SELECT event_id, event_type,
+             |         row_number() OVER (PARTITION BY event_type
+             |                            ORDER BY value, event_id) AS rn,
+             |         count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events) t
+             |ORDER BY event_id""".stripMargin))
   )
 }

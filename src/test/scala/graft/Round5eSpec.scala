@@ -59,6 +59,24 @@ class Round5eSpec extends SparkSuite {
     assert(df.rdd.getNumPartitions == 8)
   }
 
+  test("property: producer source returns exactly the filtered id range") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val count = 500L
+    val bound = Gen.choose(-100L, 600L)
+    val prop = Prop.forAll(bound, bound) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val got = spark.read.format("graft.sources.ProducerSource")
+        .option("count", count.toString).option("partitions", "3").load()
+        .filter(col("id") >= lo && col("id") < hi)
+        .select("id").collect().map(_.getLong(0)).sorted
+      val want = (math.max(0L, lo) until math.min(count, hi)).toArray
+      got.sameElements(want)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cogroup matches the relational full-outer rendering") {
     val typed = SparkEntry.queries("x120_cogroup")(spark, sfDir)
     val e = Tables.events(spark, sfDir).groupBy("user_id")
