@@ -38,4 +38,11 @@ class Round5fSpec extends SparkSuite {
     assert(got.values.forall { case (n, tok) => tok >= n * k })
     assert(got.values.map(_._1).sum > 0, "fixture should contain dup spans")
   }
+
+  test("prefix-filtered join equals the full inverted-index join exactly") {
+    val pp = SparkEntry.queries("x128_ppjoin")(spark, sfDir).collect().toSeq
+    val full = SparkEntry.queries("x02_ngram_jaccard")(spark, sfDir)
+      .collect().toSeq
+    assert(pp.nonEmpty && pp == full)
+  }
 }
