@@ -302,7 +302,11 @@ object StreamingOps {
     */
   def streamStreamLeftOuterJoin(spark: SparkSession, dir: String,
       sinkName: String): DataFrame =
-    withShufflePartitions(spark, 8) {
+    // 4 state partitions, not 8: the outer join keeps 4 stores per
+    // partition (two sides × key/numValue), and this drain runs 4-5
+    // microbatches — halving partitions halves store commits for a
+    // keyspace (~20k clicks at sf0.1) that fits comfortably.
+    withShufflePartitions(spark, 4) {
       // multipleWatermarkPolicy=max, scoped to this query (read once at
       // query start). Measured on this drain: under the default min
       // policy the global watermark wedges at (real-max − delay) — one
