@@ -125,6 +125,92 @@ object Round5fQueries {
              |                            ORDER BY value, event_id) AS rn,
              |         count(*) OVER (PARTITION BY event_type) AS n
              |  FROM events) t
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // Decontamination as a TRANSFORM, not a report: corpus docs are
+    // REWRITTEN with every token span covered by a benchmark-shared
+    // 5-gram removed (x69 flags contaminated docs; this emits the
+    // cleaned text a training run would actually ingest — x126's span
+    // machinery pointed at a reference set). The rebuilt text ships as
+    // md5 so the gate hash-verifies the exact reconstruction without
+    // dumping full documents. Scale: gram join broadcast on the
+    // benchmark gram set (an aggregate of the eval suite — tiny by
+    // construction); coverage explode and the ordered rebuild partition
+    // on doc_id.
+    QueryDef(
+      "x129_decontam_rewrite",
+      (s, dir) => {
+        val k = 5
+        val toks = filter(split(lower(col("text")), " "),
+          (w: Column) => w =!= "")
+        val tokensOf = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
+        val grams = tokensOf
+          .withColumn("gram", {
+            val win = Window.partitionBy("doc_id").orderBy("pos")
+            (1 until k).foldLeft(col("w")) { (acc, i) =>
+              concat(acc, lit(" "), lead(col("w"), i).over(win))
+            }
+          })
+          .filter(col("gram").isNotNull)
+        val benchGrams = grams.filter(col("doc_id") < 20)
+          .select("gram").distinct()
+        val covered = grams.filter(col("doc_id") >= 20)
+          .join(broadcast(benchGrams), "gram")
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + k - 1)).as("pos"))
+          .distinct()
+        val kept = tokensOf.filter(col("doc_id") >= 20)
+          .join(covered, Seq("doc_id", "pos"), "left_anti")
+        val rebuilt = kept.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("w")))),
+              x => x.getField("w")), " ")).as("clean_md5"))
+        Tables.documents(s, dir).filter(col("doc_id") >= 20)
+          .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         generate_subscripts(list_filter(string_split(lower(text), ' '), x -> x <> ''), 1) - 1 AS pos,
+             |         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+             |  FROM documents),
+             | grams AS (
+             |  SELECT doc_id, pos,
+             |         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+             |           || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS gram
+             |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+             | bench AS (
+             |  SELECT DISTINCT gram FROM grams
+             |  WHERE doc_id < 20 AND gram IS NOT NULL),
+             | covered AS (
+             |  SELECT DISTINCT g.doc_id,
+             |         unnest(generate_series(g.pos, g.pos + 4)) AS pos
+             |  FROM grams g JOIN bench USING (gram)
+             |  WHERE g.doc_id >= 20),
+             | kept AS (
+             |  SELECT t.doc_id, t.pos, t.w FROM toks t
+             |  WHERE t.doc_id >= 20 AND NOT EXISTS (
+             |    SELECT 1 FROM covered c
+             |    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+             | rebuilt AS (
+             |  SELECT doc_id, count(*) AS n_kept,
+             |         md5(string_agg(w, ' ' ORDER BY pos)) AS clean_md5
+             |  FROM kept GROUP BY 1),
+             | corpus AS (
+             |  SELECT doc_id,
+             |         CAST(len(list_filter(string_split(lower(text), ' '),
+             |           x -> x <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents WHERE doc_id >= 20)
+             |SELECT c.doc_id, c.n_tokens,
+             |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+             |       coalesce(r.clean_md5, md5('')) AS clean_md5
+             |FROM corpus c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
+             |ORDER BY 1""".stripMargin))
   )
 }

@@ -39,6 +39,25 @@ class Round5fSpec extends SparkSuite {
     assert(got.values.map(_._1).sum > 0, "fixture should contain dup spans")
   }
 
+  test("decontam rewrite: untouched docs reproduce their original token stream") {
+    import org.apache.spark.sql.functions._
+    val res = SparkEntry.queries("x129_decontam_rewrite")(spark, sfDir)
+    val bad = res.filter(col("n_kept") > col("n_tokens")).count()
+    assert(bad == 0)
+    // docs with nothing removed must hash to exactly the original
+    // (lowercased, space-normalized) token stream
+    val orig = Tables.documents(spark, sfDir).filter(col("doc_id") >= 20)
+      .select(col("doc_id"), md5(array_join(filter(
+        split(lower(col("text")), " "),
+        w => w =!= ""), " ")).as("orig_md5"))
+    val mismatch = res.filter(col("n_kept") === col("n_tokens"))
+      .join(orig, "doc_id")
+      .filter(col("clean_md5") =!= col("orig_md5")).count()
+    assert(mismatch == 0)
+    assert(res.filter(col("n_kept") < col("n_tokens")).count() > 0,
+      "fixture should contain contaminated docs")
+  }
+
   test("prefix-filtered join equals the full inverted-index join exactly") {
     val pp = SparkEntry.queries("x128_ppjoin")(spark, sfDir).collect().toSeq
     val full = SparkEntry.queries("x02_ngram_jaccard")(spark, sfDir)
