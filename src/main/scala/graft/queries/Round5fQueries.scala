@@ -211,6 +211,41 @@ object Round5fQueries {
              |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
              |       coalesce(r.clean_md5, md5('')) AS clean_md5
              |FROM corpus c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // Temporal burstiness per user: the index of dispersion
+    // (n·Σc² − (Σc)²) / (n·Σc) over the user's hourly event counts —
+    // ≈1 for Poisson-like organic activity, ≫1 for bursty/bot traffic,
+    // the behavioral-abuse signal a data pipeline screens on. All
+    // aggregation is exact integers (bucket counts and their squares);
+    // the index is ONE double expression per output row, so the value
+    // is engine-identical with no summation-order exposure (the x34
+    // power-sum pattern). Scale: two hash aggregates, both keyed on
+    // user/(user, hour) — uniform.
+    QueryDef(
+      "x130_burstiness",
+      (s, dir) => {
+        val buckets = Tables.events(s, dir)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+        buckets.groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+            sum(col("c") * col("c")).as("scc"))
+          .select(col("user_id"), col("n"), col("sc"),
+            ((col("n") * col("scc") - col("sc") * col("sc")).cast("double") /
+              (col("n") * col("sc"))).as("dispersion"))
+          .orderBy("user_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             | agg AS (
+             |  SELECT user_id, count(*) AS n,
+             |         CAST(sum(c) AS BIGINT) AS sc,
+             |         CAST(sum(c * c) AS BIGINT) AS scc
+             |  FROM b GROUP BY 1)
+             |SELECT user_id, n, sc,
+             |       CAST(n * scc - sc * sc AS DOUBLE) / (n * sc) AS dispersion
+             |FROM agg ORDER BY user_id""".stripMargin))
   )
 }
