@@ -246,6 +246,57 @@ object Round5fQueries {
              |  FROM b GROUP BY 1)
              |SELECT user_id, n, sc,
              |       CAST(n * scc - sc * sc AS DOUBLE) / (n * sc) AS dispersion
-             |FROM agg ORDER BY user_id""".stripMargin))
+             |FROM agg ORDER BY user_id""".stripMargin)),
+
+    // Corrupt-record quarantine — the malformed-input stage of every
+    // ingest pipeline: a deterministic fault injector truncates 1-in-7
+    // payloads mid-JSON, and the query routes rows by whether the
+    // REQUIRED field is extractable (Spark's PERMISSIVE from_json
+    // null-fields the corrupt row rather than nulling the struct, so
+    // field-level null IS the portable corruption signal; the oracle
+    // states the same predicate as json_valid AND key present),
+    // reporting per type the arrivals, the quarantined count, and the
+    // exact integer sum extracted from the SURVIVING payloads — proving
+    // bad rows neither crash the job nor leak into the aggregate.
+    // Scale: a narrow map plus one hash aggregate; the quarantine
+    // predicate is row-local.
+    QueryDef(
+      "x131_quarantine",
+      (s, dir) => {
+        val mangled = when(pmod(col("event_id"), lit(7)) === 0,
+          col("props").substr(lit(1),
+            (length(col("props")) / 2).cast("int")))
+          .otherwise(col("props"))
+        val parsed = from_json(mangled, org.apache.spark.sql.types
+          .StructType(Seq(org.apache.spark.sql.types
+            .StructField("k", org.apache.spark.sql.types.LongType))))
+        Tables.events(s, dir)
+          .select(col("event_type"), parsed.as("p"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_arrived"),
+            sum(when(col("p.k").isNull, 1L).otherwise(0L)).as("n_quarantined"),
+            sum(col("p.k")).as("k_sum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH m AS (
+             |  SELECT event_type,
+             |         CASE WHEN event_id % 7 = 0
+             |              THEN substr(props, 1, length(props) // 2)
+             |              ELSE props END AS m
+             |  FROM events),
+             | s AS (
+             |  -- sanitize BEFORE extraction: DuckDB may evaluate
+             |  -- json_extract_string eagerly even under a CASE guard,
+             |  -- and it ERRORS on malformed input rather than yielding NULL
+             |  SELECT event_type,
+             |         json_extract_string(
+             |           CASE WHEN json_valid(m) THEN m ELSE '{}' END,
+             |           '$.k') AS kx
+             |  FROM m)
+             |SELECT event_type, count(*) AS n_arrived,
+             |       CAST(sum(CASE WHEN kx IS NULL THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_quarantined,
+             |       CAST(sum(CAST(kx AS BIGINT)) AS BIGINT) AS k_sum
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
