@@ -66,8 +66,18 @@ object Bench {
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     def ms(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Per-query: centisecond precision and zero-stripped ids ("q1",
+    // "x5", "x116" — the driver contract's own example key style) keep
+    // ~150 queries inside the tail window without eliding anything.
+    def cs(v: Double): String = BigDecimal(v)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def sid(k: String): String = {
+      val id = k.takeWhile(_ != '_')
+      val digits = id.tail.dropWhile(_ == '0')
+      s"${id.head}${if (digits.isEmpty) "0" else digits}"
+    }
     def shortLine(rs: Seq[(String, Double)], note: String): String = {
-      val qs = rs.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
+      val qs = rs.map { case (k, v) => "\"" + sid(k) + "\":" + cs(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${ms(total)},"unit":"sec"$note,"queries":$qs,"sf":"$sfDir"}"""
     }
