@@ -297,6 +297,54 @@ object Round5fQueries {
              |       CAST(sum(CASE WHEN kx IS NULL THEN 1 ELSE 0 END)
              |         AS BIGINT) AS n_quarantined,
              |       CAST(sum(CAST(kx AS BIGINT)) AS BIGINT) AS k_sum
-             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Per-class embedding diversity — mean pairwise squared distance via
+    // the identity E‖x−y‖² = 2(E‖x‖² − ‖E x‖²): the curation metric for
+    // "is this class/source collapsing to near-duplicates" WITHOUT any
+    // pairwise pass. Everything reduces to power sums: Σ‖x‖² and the
+    // per-dimension sums, all in DECIMAL (the float→decimal(·,12)
+    // rounding is engine-identical because no binary fraction can sit on
+    // a 10⁻¹²·½ boundary), then ONE double expression per class. Scale:
+    // two hash aggregates over the exploded values — linear, vs the
+    // quadratic pair join the naive rendering needs (x05's regime).
+    QueryDef(
+      "x132_embedding_diversity",
+      (s, dir) => {
+        val vals = Tables.embeddings(s, dir)
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .withColumn("xd", col("x").cast("double").cast("decimal(14,12)"))
+        val s2 = vals.groupBy("label")
+          .agg((count(lit(1)) / 64).cast("long").as("n"),
+            sum(col("xd") * col("xd")).cast("double").as("s2"))
+        val m2 = vals.groupBy("label", "pos")
+          .agg(sum(col("xd")).cast("decimal(16,12)").as("sd"))
+          .groupBy("label")
+          .agg(sum(col("sd") * col("sd")).cast("double").as("m2"))
+        s2.join(m2, "label")
+          .select(col("label"), col("n"),
+            (lit(2.0) * (col("s2") / col("n") -
+              col("m2") / (col("n") * col("n")))).as("diversity"))
+          .orderBy("label")
+      },
+      Some("""WITH vals AS (
+             |  SELECT label,
+             |         generate_subscripts(embedding, 1) AS pos,
+             |         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(14,12)) AS xd
+             |  FROM embeddings),
+             | s2 AS (
+             |  SELECT label, CAST(count(*) // 64 AS BIGINT) AS n,
+             |         CAST(sum(xd * xd) AS DOUBLE) AS s2
+             |  FROM vals GROUP BY 1),
+             | m2 AS (
+             |  SELECT label, CAST(sum(sd * sd) AS DOUBLE) AS m2 FROM (
+             |    SELECT label, pos,
+             |           CAST(sum(xd) AS DECIMAL(16,12)) AS sd
+             |    FROM vals GROUP BY 1, 2) t
+             |  GROUP BY 1)
+             |SELECT label, n,
+             |       2.0 * (s2 / n - m2 / (n * n)) AS diversity
+             |FROM s2 JOIN m2 USING (label)
+             |ORDER BY label""".stripMargin))
   )
 }
