@@ -149,7 +149,11 @@ object Round5dQueries {
           .groupBy("l_partkey").agg(sum(col("score1")).as("sp"))
         val s2 = bridge.join(sp, "l_partkey")
           .groupBy(col("l_suppkey")).agg(sum(col("sp")).as("sums"))
-        s1.join(s2, "l_suppkey")
+        // score1 = 0 ⇔ every part is singly-supplied ⇔ the supplier is
+        // ISOLATED in the co-supply graph — the pair-based oracle never
+        // emits such vertices (they have no edges), so drop them here too:
+        // both paths agree by construction, not by fixture luck.
+        s1.filter(col("score1") > 0).join(s2, "l_suppkey")
           .select(col("l_suppkey").as("suppkey"), col("score1"),
             (col("sums") - col("nparts") * col("score1")).as("score2"))
           .orderBy(desc("score2"), asc("suppkey"))

@@ -62,12 +62,14 @@ object StreamingOps {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  /** @param sentinel additionally stage ONE far-future row (year 2030,
-    *   event_type "sentinel", latest mtime so it arrives last). A
-    *   watermark defined upstream of the event-type filters sees it, so
-    *   the final data batch provably expires every joined/outer state —
-    *   the staging analog of closing a kafka topic with a high-timestamp
-    *   control record. Consumers must filter event_type before emitting.
+  /** @param sentinel additionally stage TWO far-future rows (years 2030
+    *   and 2031, event_type "sentinel", as separate last-mtime files so
+    *   they arrive as the final two batches: the 2031 batch exists to
+    *   APPLY the 2030 watermark inside a real data batch). A watermark
+    *   defined upstream of the event-type filters sees them, so the final
+    *   data batch provably expires every joined/outer state — the staging
+    *   analog of closing a kafka topic with a high-timestamp control
+    *   record. Consumers must filter event_type before emitting.
     */
   private def stagedEventsStream(spark: SparkSession, dir: String,
       byTime: Boolean = false, maxFilesPerTrigger: Int = 1,
@@ -299,6 +301,15 @@ object StreamingOps {
     * Scale: state is bounded exactly as x56 (range condition + watermark);
     * the sentinel is the file-source analog of a high-timestamp control
     * record closing a kafka topic.
+    *
+    * CONCURRENCY CONSTRAINT: the max-watermark-policy override below is a
+    * SESSION-wide conf, restored in finally — any OTHER streaming query
+    * started on the same session while this drain runs would read the
+    * policy at its own start and could silently inherit `max`, dropping
+    * late rows on its laggier branch. Callers running concurrent streams
+    * must isolate this drain on a cloned session (`spark.newSession()`
+    * shares the context but not the conf). The graft test/bench drivers
+    * run streaming drains serially, so the override cannot leak there.
     */
   def streamStreamLeftOuterJoin(spark: SparkSession, dir: String,
       sinkName: String): DataFrame =
