@@ -62,25 +62,68 @@ object Similarity {
       .limit(k)
   }
 
-  /** Approximate top-k: 16-bit random-hyperplane signatures; candidates are
+  /** Hyperplane component (p, d): a 3-round multiply/xor-shift integer
+    * hash of i = p·64 + d, mapped into [-0.5, 0.5). Every step stays
+    * below 2⁶³ (operands are reduced mod 2³¹ before each multiply), so
+    * the chain is replayable in ANY engine with 64-bit integer
+    * arithmetic — including DuckDB SQL, which is what makes the ANN
+    * answers oracle-certifiable: the planes are CONTENT-DERIVED
+    * pseudorandom, not JVM-RNG. The xor-shift rounds break the affinity
+    * of a plain LCG (whose consecutive outputs form a lattice — every
+    * plane would be a shifted copy of the same sawtooth).
+    */
+  private[operators] def planeComponent(i: Long): Double = {
+    val s0 = ((i + 1L) * 2654435761L) % 2147483648L
+    val s1 = s0 ^ (s0 >> 15)
+    val s2 = (s1 * 2246822519L) % 2147483648L
+    val s3 = s2 ^ (s2 >> 13)
+    val s4 = (s3 * 3266489917L) % 2147483648L
+    val s5 = s4 ^ (s4 >> 16)
+    s5.toDouble / 2147483648.0 - 0.5
+  }
+
+  /** The same chain as [[planeComponent]], rendered as DuckDB CTEs
+    * producing `pl(p, pv)` — one 64-double plane list per p. Integer ops
+    * are bit-identical across engines; the final division by 2³¹ and the
+    * 0.5 shift are exact in IEEE double, so `pv` equals the broadcast
+    * `hp` arrays bit for bit.
+    */
+  private def planesSql(planes: Int, dim: Int): String =
+    s"""h AS (
+       |  SELECT i, xor(s4, s4 >> 16) / 2147483648.0 - 0.5 AS hv
+       |  FROM (SELECT i, (xor(s2, s2 >> 13) * 3266489917) % 2147483648 AS s4
+       |        FROM (SELECT i, (xor(s0, s0 >> 15) * 2246822519) % 2147483648 AS s2
+       |              FROM (SELECT i, ((i + 1) * 2654435761) % 2147483648 AS s0
+       |                    FROM (SELECT unnest(generate_series(0, ${planes * dim - 1})) AS i))))),
+       | pl AS (SELECT i // $dim AS p, list(hv ORDER BY i % $dim) AS pv
+       |        FROM h GROUP BY 1),
+       | sg AS (
+       |  SELECT e.vec_id,
+       |         CAST(sum(CASE WHEN list_dot_product(e.v, pl.pv) > 0
+       |                       THEN 1 << pl.p ELSE 0 END) AS INT) AS sig
+       |  FROM e CROSS JOIN pl GROUP BY 1)""".stripMargin
+
+  /** Approximate top-k: 16-bit hyperplane signatures; candidates are
     * rows whose signature is within `maxBits` hamming of the query's, then
     * exact cosine + top-k over candidates only.
     *
-    * Hyperplanes are derived from a fixed-seed RNG → fully deterministic
-    * across runs and JVMs. At 100 TB the signature (a 16-bit int) becomes
+    * Hyperplanes are derived from [[planeComponent]]'s integer-hash chain
+    * → fully deterministic across runs, JVMs, AND engines (the DuckDB
+    * oracle replays them). At 100 TB the signature (a 16-bit int) becomes
     * the bucketing/partition key: group vectors by signature, route the
     * query to hamming-adjacent buckets, never scan the rest.
     */
   /** (vec_id, e, sig): double-cast embeddings plus the `planes`-bit
-    * random-hyperplane signature — a narrow map (one UDF pass, no
-    * shuffle). Hyperplanes come from a fixed-seed RNG, deterministic
-    * across runs and JVMs.
+    * hyperplane signature — a narrow map (one UDF pass, no shuffle).
+    * The per-plane dot product accumulates ascending over d, matching
+    * DuckDB's sequential list_dot_product, so the SIGN decision — hence
+    * the signature — is bit-identical across engines.
     */
   private def hyperplaneSigs(spark: SparkSession, emb: DataFrame,
       planes: Int): DataFrame = {
     val dim = 64
-    val rnd = new scala.util.Random(42)
-    val hp = Array.fill(planes, dim)(rnd.nextGaussian())
+    val hp = Array.tabulate(planes, dim)((p, d) =>
+      planeComponent(p.toLong * dim + d))
     val hpB = spark.sparkContext.broadcast(hp)
     val sigUdf = udf { (e: Seq[Double]) =>
       val h = hpB.value
@@ -177,90 +220,111 @@ object Similarity {
     * partitions vectors into `nlist` cells; a query probes only the
     * `nprobe` nearest cells and re-ranks exactly within them.
     *
-    * Determinism: centroids initialize from the `nlist` smallest vec_ids
-    * and run a fixed number of Lloyd iterations with lowest-index
-    * tie-breaks — identical across runs/JVMs.
+    * Fully relational — trainer included. The quantizer is
+    * [[KMeansLite]]'s engine-parity-exact Lloyd's (lowest-vec_id init,
+    * graft_dot distances, DECIMAL(27,12) centroid sums), run on a
+    * DETERMINISTIC bounded sample: `vec_id % step == 0` where
+    * step = ⌈n/maxTrain⌉ comes from a 1-row count subquery CROSS-joined
+    * into the filter — no driver-side collect anywhere, and the
+    * content-derived predicate makes task retries resample identically
+    * (same argument as Round2Queries.lcgPct). The whole trajectory —
+    * sampling, both Lloyd iterations, the global cell assignment, the
+    * nprobe cell choice — replays bit-for-bit in DuckDB SQL
+    * ([[ivfTopKSql]]), so the driver's hash gate certifies the IVF
+    * answer end to end (the same proof shape as x101/x122).
     *
-    * Scale shape: training runs on a driver-side sample of at most
-    * `maxTrain` vectors (the standard IVF recipe — at 100 TB you sample
-    * ~1M vectors, not the corpus); assignment is one narrow UDF pass; the
-    * cell id becomes the partition/bucket key so probes touch
-    * nprobe/nlist of the data. Cell assignment would be written once as a
-    * bucketed table in a real deployment.
+    * Scale shape: the standard IVF recipe — train on ~maxTrain vectors,
+    * not the corpus (at 100 TB you sample ~1M); assignment is one
+    * broadcast-centroids argmin pass; the cell id becomes the
+    * partition/bucket key so probes touch ~nprobe/nlist of the data.
+    * Cell assignment would be written once as a bucketed table in a real
+    * deployment.
     */
   def ivfTopK(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
       maxTrain: Int = 1024): DataFrame = {
-    import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
+    val vecs = KMeansLite.vectors(emb)
 
-    def dotP(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
-      var best = 0; var bestD = Double.MaxValue; var c = 0
-      while (c < cs.length) {
-        val d = dotP(v, v) - 2 * dotP(v, cs(c)) + dotP(cs(c), cs(c))
-        if (d < bestD) { bestD = d; best = c } // strict < → lowest-index ties
-        c += 1
-      }
-      best
-    }
+    // step = ceil(n / maxTrain) as a 1-row subquery — the plan stays lazy.
+    val stepDF = vecs.agg(greatest(lit(1L),
+      expr(s"(count(1) + ${maxTrain - 1}) div $maxTrain")).as("step"))
+    val sample = vecs.crossJoin(broadcast(stepDF))
+      .filter(pmod(col("vec_id"), col("step")) === 0)
+      .select("vec_id", "v")
 
-    // --- train on a DETERMINISTIC bounded sample, never the full table.
-    // step from a plain distributed count(); the `vec_id % step == 0`
-    // predicate is content-derived, so task retries resample identically
-    // (same retry-safety argument as Round2Queries.lcgPct) and the driver
-    // holds at most ~maxTrain vectors regardless of corpus size.
-    val n = emb.count()
-    val step = math.max(1L, (n + maxTrain - 1) / maxTrain)
-    val sample = emb.select(col("vec_id"), col("embedding"))
-      .filter(pmod(col("vec_id"), lit(step)) === 0)
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val xs = sample.map(_._2.map(_.toDouble))
-    var centroids = xs.take(nlist).map(_.clone())
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(nlist)(new Array[Double](xs.head.length))
-      val counts = new Array[Int](nlist)
-      xs.foreach { v =>
-        val c = nearest(centroids, v)
-        counts(c) += 1
-        var i = 0
-        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
-      }
-      centroids = centroids.indices.map { c =>
-        if (counts(c) == 0) centroids(c)
-        else sums(c).map(_ / counts(c))
-      }.toArray
-    }
-    val bc = spark.sparkContext.broadcast(centroids)
-    val cellUdf = udf { (e: Seq[Double]) => nearest(bc.value, e.toArray) }
+    var cents = KMeansLite.initCentroids(sample, nlist)
+    for (_ <- 0 until iters)
+      cents = KMeansLite.recompute(KMeansLite.assign(sample, cents))
 
-    // --- probe: nprobe cells nearest to the query vector (a single-row
-    // lookup — the query vector need not be in the training sample)
-    val qVec = emb.filter(col("vec_id") === queryId)
-      .select(col("embedding")).as[Array[Float]]
-      .collect().headOption
-      .getOrElse(sys.error(s"query vec $queryId not found")).map(_.toDouble)
-    val probed = centroids.indices
-      .sortBy(c => (dotP(qVec, qVec) - 2 * dotP(qVec, centroids(c))
-        + dotP(centroids(c), centroids(c)), c))
-      .take(nprobe).toSet
+    // global assignment of EVERY vector to its final cell
+    val assigned = KMeansLite.assign(vecs, cents)
 
-    val assigned = emb
-      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
-      .withColumn("cell", cellUdf(col("e")))
-      .filter(col("cell").isin(probed.toSeq: _*))
-    val query = assigned.filter(col("vec_id") === queryId).select(col("e").as("q"))
-    assigned.crossJoin(broadcast(query))
+    // probe: the nprobe cells nearest the query vector (centroid table is
+    // nlist rows — the sort is driver-trivial and fully deterministic
+    // with the cid tiebreak). The query's own cell has minimal d2, so
+    // rank-1 self-recall holds structurally.
+    val qv = vecs.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val probed = cents.crossJoin(broadcast(qv))
+      .select(col("cid"),
+        (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("cv")) +
+          dot(col("cv"), col("cv"))).as("d2"))
+      .orderBy(col("d2"), col("cid")).limit(nprobe)
+      .select("cid")
+
+    assigned.join(broadcast(probed), "cid")
+      .crossJoin(broadcast(qv))
       .select(col("vec_id"),
-        round(cosine(col("e"), col("q")), 6)
+        round(cosine(col("v"), col("qv")), 6)
           .as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** DuckDB replay of [[ivfTopK]] — sampling, two Lloyd iterations on the
+    * sample (decimal-exact, x101's rendering), global assignment, probe,
+    * exact re-rank. Every distance is list_dot_product-based, matching
+    * graft_dot bit for bit.
+    */
+  private def ivfTopKSql(queryId: Long, k: Int, nlist: Int, nprobe: Int,
+      maxTrain: Int, dim: Int): String = {
+    def assignSql(src: String, cents: String): String =
+      s"""SELECT vec_id, cid, v FROM (
+         |    SELECT $src.vec_id, $cents.cid, $src.v,
+         |           row_number() OVER (PARTITION BY $src.vec_id ORDER BY
+         |             list_dot_product($src.v, $src.v)
+         |               - 2.0 * list_dot_product($src.v, $cents.cv)
+         |               + list_dot_product($cents.cv, $cents.cv), $cents.cid) AS rn
+         |    FROM $src CROSS JOIN $cents) WHERE rn = 1""".stripMargin
+    def recomputeSql(asg: String): String =
+      s"""SELECT cid, list(cv_el ORDER BY idx) AS cv FROM (
+         |    SELECT a.cid, i.idx,
+         |           CAST(sum(CAST(a.v[i.idx] AS DECIMAL(27,12))) AS DOUBLE)
+         |             / count(*) AS cv_el
+         |    FROM $asg a, (SELECT unnest(generate_series(1, $dim)) AS idx) i
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | st AS (SELECT GREATEST(1, (count(*) + ${maxTrain - 1}) // $maxTrain) AS step FROM e),
+       | s AS (SELECT e.vec_id, e.v FROM e, st WHERE e.vec_id % st.step = 0),
+       | c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |        FROM (SELECT vec_id, v FROM s ORDER BY vec_id LIMIT $nlist)),
+       | a1 AS (${assignSql("s", "c0")}),
+       | c1 AS (${recomputeSql("a1")}),
+       | a2 AS (${assignSql("s", "c1")}),
+       | c2 AS (${recomputeSql("a2")}),
+       | af AS (${assignSql("e", "c2")}),
+       | qv AS (SELECT v AS q FROM e WHERE vec_id = $queryId),
+       | pr AS (SELECT cid FROM c2, qv
+       |        ORDER BY list_dot_product(qv.q, qv.q)
+       |            - 2.0 * list_dot_product(qv.q, c2.cv)
+       |            + list_dot_product(c2.cv, c2.cv), cid LIMIT $nprobe)
+       |SELECT af.vec_id,
+       |       round(list_dot_product(af.v, qv.q)
+       |         / (sqrt(list_dot_product(af.v, af.v))
+       |          * sqrt(list_dot_product(qv.q, qv.q))), 6) AS cos_sim
+       |FROM af JOIN pr USING (cid), qv
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT $k""".stripMargin
   }
 
   /** Int8 scalar-quantized top-k: each vector is quantized to bytes with a
@@ -322,6 +386,44 @@ object Similarity {
       |FROM embeddings e, q
       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** Shared CTE head for the hyperplane-ANN oracles: embeddings as
+    * double lists + per-vector 16-bit signatures from the hash-derived
+    * planes (bit-identical to [[hyperplaneSigs]]).
+    */
+  private def sigCtesSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       | ${planesSql(planes = 16, dim = 64)}""".stripMargin
+
+  private val annTopKSql =
+    s"""$sigCtesSql,
+       | q AS (SELECT e.v AS qv, sg.sig AS qsig
+       |       FROM e JOIN sg USING (vec_id) WHERE vec_id = 0)
+       |SELECT e.vec_id,
+       |       round(list_dot_product(e.v, q.qv)
+       |         / (sqrt(list_dot_product(e.v, e.v))
+       |          * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+       |FROM e JOIN sg USING (vec_id), q
+       |WHERE bit_count(xor(sg.sig, q.qsig)) <= 8
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  // bands=4 × 4 bits: a candidate shares at least one exact band with the
+  // query — the OR of the four masked band comparisons.
+  private val annBandedSql = {
+    val bandEq = (0 until 4).map(b =>
+      s"((sg.sig >> ${b * 4}) & 15) = ((q.qsig >> ${b * 4}) & 15)")
+      .mkString("(", " OR ", ")")
+    s"""$sigCtesSql,
+       | q AS (SELECT e.v AS qv, sg.sig AS qsig
+       |       FROM e JOIN sg USING (vec_id) WHERE vec_id = 0)
+       |SELECT e.vec_id,
+       |       round(list_dot_product(e.v, q.qv)
+       |         / (sqrt(list_dot_product(e.v, e.v))
+       |          * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+       |FROM e JOIN sg USING (vec_id), q
+       |WHERE $bandEq
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
     // Q18 of SURVEY §2.C: exact brute-force cosine top-10 for vec_id=0.
     QueryDef(
@@ -329,27 +431,33 @@ object Similarity {
       (s, dir) => cosineTopK(Tables.embeddings(s, dir), 0L, 10),
       Some(cosineTopKSql)),
 
-    // Hyperplane signatures are seed-derived → no DuckDB rendering;
-    // rows-only check (its own spec asserts parity with the exact top-k).
+    // Hash-derived hyperplanes replay in DuckDB → full oracle: the gate
+    // certifies the signatures, the hamming pruning, and the re-rank.
+    // The spec additionally asserts recall vs the exact top-k.
     QueryDef(
       "x06_ann_topk",
       (s, dir) => annTopK(s, Tables.embeddings(s, dir), 0L, 10),
-      None),
+      Some(annTopKSql)),
 
-    // Deterministic but k-means-derived → no DuckDB rendering; rows-only.
-    // Its spec asserts recall against the exact q18 top-k.
+    // The oracle replays the ENTIRE IVF trajectory — deterministic
+    // sampling, both decimal-exact Lloyd iterations, global cell
+    // assignment, nprobe probe — in DuckDB (x101's proof shape), so the
+    // IVF answer is hash-certified end to end. The spec additionally
+    // asserts recall against the exact q18 top-k.
     QueryDef(
       "x23_ivf_topk",
       (s, dir) => ivfTopK(s, Tables.embeddings(s, dir), 0L, 10),
-      None),
+      Some(ivfTopKSql(queryId = 0L, k = 10, nlist = 16, nprobe = 4,
+        maxTrain = 1024, dim = 64))),
 
     // Bucket-routed variant of x06 (equi-join on band keys, no per-row
-    // hamming scan) — seed-derived like x06, so rows-only; its spec
-    // asserts rank-1 self-recall and recall vs the exact top-k.
+    // hamming scan) — same hash-derived signatures, so the oracle is the
+    // band-match candidate set re-ranked exactly; its spec asserts
+    // rank-1 self-recall and recall vs the exact top-k.
     QueryDef(
       "x81_ann_banded",
       (s, dir) => annTopKBanded(s, Tables.embeddings(s, dir), 0L, 10),
-      None),
+      Some(annBandedSql)),
 
     // Batched exact retrieval (5 probes, top-3 each) — one corpus pass
     // for the whole probe set; WindowGroupLimit prunes before the
