@@ -165,6 +165,40 @@ object PlanAudit {
     check("x123_custom_source", "DSv2 id-range pushdown narrows generation at planning time",
       _.contains("range=[1000,50000)"))
 
+    // ---- AQE skew-join split on the hot-key fixture ---------------------
+    // x135's unsalted SMJ carries half the fact rows on one key. AQE's
+    // OptimizeSkewedJoin splits that partition at runtime — but its
+    // trigger bytes (256 MB threshold / 64 MB advisory) are sized for
+    // real clusters, so scale them to fixture size for the assertion.
+    // Restored immediately: every other check runs on default AQE conf.
+    {
+      val prevThresh = spark.conf
+        .get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      val prevAdvisory = spark.conf
+        .get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      val prevFactor = spark.conf
+        .get("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      // sf0.01's hot partition is ~0.5 MB COMPRESSED (mapStats measure
+      // shuffle-file bytes, not row bytes) — 10KB/5KB/1.0 scales the
+      // trigger well below that while the median stays above split size.
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "10KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "5KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      try
+        check("x135_hotkey_join_plain",
+          "AQE skew-join split engages (skew=true)", _.contains("skew=true"))
+      finally {
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          prevThresh)
+        spark.conf.set(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes", prevAdvisory)
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor", prevFactor)
+      }
+    }
+
     // ---- spark.sql.extensions deployment path ---------------------------
     // A FRESH session configured only with GraftExtensions must get the
     // codegen function, the as-of optimizer rule, and the as-of planner

@@ -89,26 +89,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** PPJoin-style prefix-filtered exact Jaccard join (Chaudhuri/Bayardo
-    * prefix filtering): order each doc's shingles by ASCENDING global
-    * document frequency (rarest first, shingle text as tiebreak) and index
-    * only the first `n − ⌈t·n⌉ + 1` of them. Completeness: if
-    * jac(a,b) ≥ t then `|a∩b| ≥ t·|a|`, so a has at most `|a| − ⌈t·|a|⌉`
-    * shingles outside b — its prefix must hit b. Candidates are therefore
-    * prefix(x) ⋈ full(y); exact verification restricted to candidates
-    * reproduces x02's output EXACTLY, so this query shares x02's oracle —
-    * the hash gate is the completeness proof on real data.
+  /** PPJoin-style prefix-filtered exact Jaccard join (Bayardo All-Pairs /
+    * Xiao PPJoin): order each doc's shingles by ASCENDING global document
+    * frequency (rarest first, shingle text as tiebreak — a global total
+    * order) and index only the first `n − ⌈t·n⌉ + 1` of them. Candidates
+    * are prefix(x) ⋈ PREFIX(y) — both sides pruned — further cut by the
+    * LENGTH filter `min(|x|,|y|) ≥ t·max(|x|,|y|)` inside the join
+    * condition.
+    *
+    * Completeness (so the output EXACTLY equals x02's and shares its
+    * oracle — the hash gate is the proof on real data):
+    *  - jac(x,y) ≥ t ⇒ |x∩y| ≥ t/(1+t)·(|x|+|y|) ≥ t·max(|x|,|y|), which
+    *    also forces min ≥ t·max (the length filter; the −1e-9 slack keeps
+    *    boundary pairs where t·n is exact in ℚ but not in binary).
+    *  - smallest-common-token lemma: let w be the first shared shingle in
+    *    the global order; every earlier shingle of x is non-shared and x
+    *    has ≤ |x| − ⌈t·|x|⌉ of those, so w sits inside x's prefix — and
+    *    symmetrically inside y's. Prefix ⋈ prefix therefore finds every
+    *    qualifying pair.
     *
     * Scale: this is the semantics-preserving answer to the inverted-index
     * skew that x52 caps away — the cap changes the measure (Jaccard over
     * retained shingles); the prefix filter keeps EXACT Jaccard while
     * collapsing the worst-key fan-out, because a prefix prefers each
-    * doc's RAREST shingles. Measured at sf0.1 (mild skew, 5k docs):
-    * 4.9 s vs x02's 1.7 s — the ranking window + verify joins dominate
-    * at toy scale; the filter pays off when boilerplate keys make x02's
-    * d² self-join rows the binding constraint, which is the 100 TB
-    * regime. The verify join shuffles on candidate doc ids, not the
-    * shingle.
+    * doc's RAREST shingles: a boilerplate shingle shared by d docs costs
+    * the naive join d² rows but ranks LAST in every prefix, so it never
+    * even enters the candidate join here (measured on the x134 skewed
+    * fixture vs its naive twin x133). The prefix⋈prefix index side is
+    * (1−t)·|shingles| per side — at t=0.8, a 25× smaller join than the
+    * full self-join before the first filter fires. The verify join
+    * shuffles on candidate doc ids, not the shingle.
     */
   def prefixFilteredJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = TextOps.shingles(docs).localCheckpoint() // see ngramJaccardPairs
@@ -118,12 +128,14 @@ object Dedup {
       .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions
         .Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
       .filter(col("rnk") <= col("n") - ceil(col("n") * lit(threshold)) + 1)
-      .select(col("doc_id").as("pd"), col("shingle"))
-    val cand = pref
-      .join(sh.select(col("doc_id").as("fd"), col("shingle")), "shingle")
-      .filter(col("pd") =!= col("fd"))
-      .select(least(col("pd"), col("fd")).as("a"),
-        greatest(col("pd"), col("fd")).as("b"))
+      .select(col("doc_id"), col("shingle"), col("n"))
+    val cand = pref.as("px")
+      .join(pref.as("py"),
+        col("px.shingle") === col("py.shingle") &&
+          col("px.doc_id") < col("py.doc_id") &&
+          least(col("px.n"), col("py.n")) >=
+            lit(threshold) * greatest(col("px.n"), col("py.n")) - lit(1e-9))
+      .select(col("px.doc_id").as("a"), col("py.doc_id").as("b"))
       .distinct()
     val common = cand
       .join(sh.as("x"), col("a") === col("x.doc_id"))
