@@ -77,4 +77,77 @@ class RuntimePruningSpec extends SparkSuite {
     }
   }
 
+  /** Row groups a min/max-pruning reader would READ for the rectangle
+    * user_id ∈ [loU, hiU] ∧ d ∈ [loD, hiD]: those whose per-column stats
+    * ranges both intersect it. This is exactly the statistics test
+    * parquet-mr's RowGroupFilter (and every lakehouse file-skipping
+    * index) applies — measured here straight off the footers, so the
+    * skip ratio is attributable to LAYOUT alone, not reader heuristics.
+    */
+  private def rowGroups(dir: String, loU: Long, hiU: Long,
+      loD: Long, hiD: Long): (Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    var total = 0
+    var surviving = 0
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getFooter.getBlocks.asScala.foreach { block =>
+        total += 1
+        def range(name: String): (Long, Long) = {
+          val st = block.getColumns.asScala
+            .find(_.getPath.toDotString == name).get.getStatistics
+          (st.genericGetMin.asInstanceOf[java.lang.Long],
+            st.genericGetMax.asInstanceOf[java.lang.Long])
+        }
+        val (minU, maxU) = range("user_id")
+        val (minD, maxD) = range("d")
+        if (!(maxU < loU || minU > hiU) && !(maxD < loD || minD > hiD))
+          surviving += 1
+      } finally reader.close()
+    }
+    (surviving, total)
+  }
+
+  test("z-order layout: 2-D rectangle predicate skips row groups the unsorted layout scans") {
+    val day = datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).cast("long")
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), day.as("d"), col("value"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val uDir = java.nio.file.Files.createTempDirectory("graft_unsorted").toString
+    // write-side: the x102 curve key, range-partitioned + sorted into 8
+    // files (each ≈ one row group at this size) vs the same data spread
+    // by a content hash — the layout a table has before clustering.
+    operators.ZOrder.zorderRepartition(base,
+        operators.ZOrder.zvalue(col("user_id").bitwiseAND(lit(65535L)),
+          col("d").bitwiseAND(lit(65535L))), 8)
+      .write.mode("overwrite").parquet(zDir)
+    base.repartition(8, col("event_id"))
+      .write.mode("overwrite").parquet(uDir)
+
+    // the probe rectangle: 4 of ~15 users × 8 of ~30 days ≈ 7% of rows
+    val (loU, hiU, loD, hiD) = (4L, 7L, 19728L, 19735L)
+    val (zSurv, zTotal) = rowGroups(zDir, loU, hiU, loD, hiD)
+    val (uSurv, uTotal) = rowGroups(uDir, loU, hiU, loD, hiD)
+    // hash layout: every row group spans the full space → nothing skips
+    assert(uSurv == uTotal, s"unsorted layout unexpectedly pruned: $uSurv/$uTotal")
+    // z-order layout: the rectangle maps to a tight z-interval → most
+    // row groups' [min,max] rectangles miss it entirely
+    assert(zTotal >= 8 && zSurv <= zTotal / 2,
+      s"z-order skipped too little: $zSurv/$zTotal surviving")
+
+    // and the pruned read is NOT a different answer: both layouts return
+    // the identical row set under the same predicate
+    def readRect(dir: String): Set[Long] =
+      spark.read.parquet(dir)
+        .filter(col("user_id").between(loU, hiU) && col("d").between(loD, hiD))
+        .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(readRect(zDir) == readRect(uDir))
+    assert(readRect(zDir).nonEmpty)
+  }
+
 }

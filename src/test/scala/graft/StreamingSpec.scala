@@ -197,4 +197,42 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(out == Map(1L -> 5.0, 2L -> 10.0))
   }
+
+  test("RocksDB state store: stateful drains equal the default-provider results") {
+    // The cluster-default state backend at scale (bounded heap, spill to
+    // native storage) — exercised here on the two state shapes the suite
+    // drains: symmetric join state (x56) and per-key agg/upsert state
+    // (x119). The provider class is read at QUERY start, so a session-
+    // level set + restore scopes it to these serial drains.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    val prev = spark.conf.getOption(key)
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def joinRows(): Seq[(Long, Long)] =
+      StreamingOps.streamStreamJoin(spark, sfDir, "rocks_x56_sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def upsertRows(): Seq[String] =
+      StreamingOps.streamingUpsertMv(spark, sfDir)
+        .collect().map(_.toString).toSeq
+    val (j0, tj0) = time(joinRows())
+    val (u0, tu0) = time(upsertRows())
+    spark.conf.set(key, rocks)
+    try {
+      val (j1, tj1) = time(joinRows())
+      val (u1, tu1) = time(upsertRows())
+      assert(j1 == j0, "x56 join drain differs under RocksDB state store")
+      assert(u1 == u0, "x119 upsert drain differs under RocksDB state store")
+      assert(j0.nonEmpty && u0.nonEmpty)
+      info(f"x56 drain: default $tj0%.2fs vs rocksdb $tj1%.2fs; " +
+        f"x119: default $tu0%.2fs vs rocksdb $tu1%.2fs")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
