@@ -201,6 +201,52 @@ object Dedup {
     * a single groupBy(doc) pass; the candidate join shuffles on (band, sig)
     * — tiny keys, uniformly distributed by construction.
     */
+  /** The LSH INDEX rows for a doc set: (doc_id, band, sig) — `bands`
+    * band signatures per doc, each an xxhash64 of its `rows` minhashes.
+    * This is the id-sized state an incremental pipeline persists between
+    * snapshots ([[IncrementalDedup]]): new docs join their signatures
+    * against the stored index, and the old corpus text is never
+    * re-shingled.
+    */
+  def bandSignatures(docs: DataFrame, bands: Int = 16, rows: Int = 2): DataFrame = {
+    val numPerm = bands * rows
+    val sh = TextOps.shingles(docs)
+    val minhashes = sh.groupBy("doc_id").agg(
+      min(xxhash64(lit(0), col("shingle"))).as("h0"),
+      (1 until numPerm).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i")): _*)
+    val bandCols = (0 until bands).map { b =>
+      val rowCols = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      struct(lit(b).as("band"), xxhash64(rowCols: _*).as("sig"))
+    }
+    minhashes
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Exact-Jaccard verification of candidate (a, b) pairs: only the
+    * candidate DOCS' text is shingled (left-semi on the pair ids), so at
+    * scale this is point lookups into the corpus, not a rescan.
+    */
+  def verifyCandidates(docs: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
+    val ids = candidates.select(col("a").as("doc_id"))
+      .union(candidates.select(col("b").as("doc_id"))).distinct()
+    val sh = TextOps.shingles(docs.join(ids, Seq("doc_id"), "left_semi"))
+      .localCheckpoint() // feeds sizes + both sides of the common-count join
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = candidates
+      .join(sh.as("sx"), col("a") === col("sx.doc_id"))
+      .join(sh.as("sy"),
+        col("b") === col("sy.doc_id") && col("sx.shingle") === col("sy.shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"),
+        round(col("c") / (col("sa.n") + col("sb.n") - col("c")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   def minhashLshPairs(docs: DataFrame, threshold: Double,
       bands: Int = 16, rows: Int = 2): DataFrame = {
     val numPerm = bands * rows
