@@ -192,6 +192,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe banded ANN: [[annTopKBanded]]'s bucket routing with the
+    * standard recall lever that does NOT touch the index — the QUERY
+    * expands each of its band buckets to the bucket values within
+    * hamming distance 1 (1 + bandBits probes per band), and the join
+    * stays an equi-join on (band, bv). A vector within `bands·1` extra
+    * sign-flips of the query now shares a probed bucket, so recall rises
+    * (spec-asserted strictly above single-probe, ≥ 6/10) while the probe still
+    * touches ~bands·(1+bandBits)/2^bandBits of the corpus instead of
+    * scanning it. At 100 TB this is the knob you turn instead of
+    * re-bucketing: index unchanged, probe fan-out per query bounded and
+    * explicit.
+    */
+  def annTopKMultiprobe(spark: SparkSession, emb: DataFrame, queryId: Long,
+      k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bandBits = planes / bands
+    val mask = (1 << bandBits) - 1
+    val sigs = hyperplaneSigs(spark, emb, planes)
+    val banded = sigs.select(col("vec_id"), col("e"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bv")))
+    // query-side expansion: the exact bucket plus its bandBits 1-bit flips
+    val qProbes = banded.filter(col("vec_id") === queryId)
+      .select(col("band"),
+        explode(array(col("bv") +:
+          (0 until bandBits).map(i => col("bv").bitwiseXOR(lit(1 << i))): _*))
+          .as("bv"),
+        col("e").as("q"))
+    banded.join(broadcast(qProbes), Seq("band", "bv"))
+      .select(col("vec_id"), col("e"), col("q"))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"),
+        round(cosine(col("e"), col("q")), 6)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Batched exact top-k: MANY query vectors retrieved in one corpus pass
     * — the serving/eval shape (a probe set, not one query). The query
     * block broadcasts; each corpus row scores against all queries in one
@@ -458,6 +497,29 @@ object Similarity {
       "x81_ann_banded",
       (s, dir) => annTopKBanded(s, Tables.embeddings(s, dir), 0L, 10),
       Some(annBandedSql)),
+
+    // Multi-probe expansion of x81: query probes each band's bucket AND
+    // its 1-bit neighbors — candidate = some band within hamming 1 of
+    // the query's band value. Same index, higher recall, still an
+    // equi-join; oracle re-ranks the exact candidate-set definition.
+    QueryDef(
+      "x138_ann_multiprobe",
+      (s, dir) => annTopKMultiprobe(s, Tables.embeddings(s, dir), 0L, 10),
+      Some {
+        val bandNear = (0 until 4).map(b =>
+          s"bit_count(xor((sg.sig >> ${b * 4}) & 15, (q.qsig >> ${b * 4}) & 15)) <= 1")
+          .mkString("(", " OR ", ")")
+        s"""$sigCtesSql,
+           | q AS (SELECT e.v AS qv, sg.sig AS qsig
+           |       FROM e JOIN sg USING (vec_id) WHERE vec_id = 0)
+           |SELECT e.vec_id,
+           |       round(list_dot_product(e.v, q.qv)
+           |         / (sqrt(list_dot_product(e.v, e.v))
+           |          * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+           |FROM e JOIN sg USING (vec_id), q
+           |WHERE $bandNear
+           |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+      }),
 
     // Batched exact retrieval (5 probes, top-3 each) — one corpus pass
     // for the whole probe set; WindowGroupLimit prunes before the

@@ -137,6 +137,21 @@ class OperatorSpec extends SparkSuite {
     assert(banded == again)
   }
 
+  test("multiprobe ann: query rank 1; recall strictly above single-probe banded") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.cosineTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val banded = Similarity.annTopKBanded(spark, emb, 0L, 10)
+      .collect().map(_.getLong(0)).count(exact.contains)
+    val multi = Similarity.annTopKMultiprobe(spark, emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(multi.head == ((0L, 1.0)))
+    val recall = multi.map(_._1).count(exact.contains)
+    // the whole point of multi-probe: more recall from the same index
+    assert(recall > banded, s"multiprobe recall $recall <= banded $banded")
+    assert(recall >= 6, s"multiprobe ANN recall@10 = $recall")
+  }
+
   test("ivf top-k: query is rank 1; recall vs exact >= 6/10; deterministic") {
     val emb = Tables.embeddings(spark, sfDir)
     val exact = Similarity.cosineTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSeq
