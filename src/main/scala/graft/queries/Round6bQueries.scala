@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-6b: ordered-sequence analytics over the events stream.
+  *
+  * x142 is the classic multi-step funnel (view → click → purchase with
+  * strictly increasing timestamps per user). The relational rendering
+  * chains per-step minimum timestamps through equi-joins on user_id —
+  * step k's input is only the survivors of step k-1, so each stage
+  * SHRINKS; no window over the whole event history, no per-user
+  * event-list materialization. At 100 TB each stage is one hash
+  * aggregate + one hash join on user_id, all map-side combinable, and
+  * the funnel depth is the number of stages, not a data-dependent loop.
+  * Conversion ratios are per-10k integer floor-divisions (house
+  * determinism rule).
+  */
+object Round6bQueries {
+
+  private val steps = Seq("view", "click", "purchase")
+
+  private def funnel(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+    // Per-step first-reach times, each conditioned on the previous step.
+    val reached = steps.zipWithIndex.scanLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+      case (prev, (step, i)) =>
+        val base = ev.filter(col("event_type") === step)
+        val gated = prev match {
+          case None    => base
+          case Some(p) => base.join(p, "user_id").filter(col("ts") > col(s"t$i"))
+        }
+        Some(gated.groupBy("user_id").agg(min("ts").as(s"t${i + 1}")))
+    }.flatten
+    val counts = reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step"), lit(steps(i)).as("event_type"), col("users"))
+    }.reduce(_ unionByName _)
+    val base = reached.head.agg(count(lit(1)).as("base"))
+    counts.crossJoin(broadcast(base))
+      .select(col("step"), col("event_type"), col("users"),
+        expr("(users * 10000) div base").as("conv_per_10k"))
+      .orderBy("step")
+  }
+
+  private val funnelSql =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+      |c AS (SELECT 1 AS step, 'view' AS event_type, count(*) AS users FROM s1
+      |      UNION ALL SELECT 2, 'click', count(*) FROM s2
+      |      UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+      |SELECT step, event_type, CAST(users AS BIGINT) AS users,
+      |       CAST(users * 10000 // (SELECT users FROM c WHERE step = 1) AS BIGINT) AS conv_per_10k
+      |FROM c ORDER BY step""".stripMargin
+
+  /** x144: PageRank over the part co-purchase graph (parts sharing an
+    * order), 3 unrolled iterations, EXACT integer arithmetic.
+    *
+    * Two scale decisions make this the plan you'd run at 100 TB:
+    * (1) edge generation self-joins on l_orderkey, so fan-out per order
+    * is |items|² — bounded by basket size (a constant), linear overall,
+    * never corpus-quadratic; (2) each iteration is one equi-join on the
+    * node key + one hash aggregate, and the iteration COUNT is fixed and
+    * unrolled into the plan — no driver-side loop state, no action per
+    * step (contrast x43's convergence loop, which needs one 1-row probe
+    * per round because its stopping rule is data-dependent).
+    *
+    * Determinism: ranks are 10^6-scaled integers; per-edge contributions
+    * use integer division (`div` truncation = DuckDB `//` floor on
+    * non-negatives), so every engine computes identical ranks — the same
+    * reason x127/x125 use integer ratios instead of doubles. Isolated
+    * parts (never co-ordered) have no edges and are excluded from the
+    * node set by construction.
+    */
+  private def pagerank(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val op = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var r = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(r.withColumnRenamed("node", "src"), "src").join(deg, "src")
+        .select(col("dst").as("node"), expr("r div outdeg").as("contrib"))
+      r = nodes
+        .join(contrib.groupBy("node").agg(sum("contrib").as("sc")), Seq("node"), "left")
+        .select(col("node"),
+          expr("150000 + (850000 * coalesce(sc, 0)) div 1000000").as("r"))
+    }
+    r.select(col("node").as("part_id"), col("r").cast("long").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("part_id")).limit(20)
+  }
+
+  private def prStep(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT n.node,
+       |         150000 + (850000 * coalesce(sum(c.contrib), 0)) // 1000000 AS r
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node, r.r // d.outdeg AS contrib
+       |    FROM edges e JOIN $prev r ON e.src = r.node JOIN deg d ON e.src = d.src) c
+       |    USING (node) GROUP BY 1)""".stripMargin
+
+  private val pagerankSql =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |edges AS (SELECT DISTINCT a.p AS src, b.p AS dst
+       |          FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${prStep("r0", "r1")},
+       |${prStep("r1", "r2")},
+       |${prStep("r2", "r3")}
+       |SELECT node AS part_id, CAST(r AS BIGINT) AS rank_scaled
+       |FROM r3 ORDER BY rank_scaled DESC, part_id LIMIT 20""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("x142_funnel", funnel, Some(funnelSql)),
+    QueryDef("x144_pagerank", pagerank, Some(pagerankSql)))
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.FuzzyJoin
+import org.apache.spark.sql.functions._
+
+class Round6bSpec extends SparkSuite {
+
+  test("x142 funnel: step counts are monotonically non-increasing") {
+    val rows = SparkEntry.queries("x142_funnel")(spark, sfDir).collect()
+    assert(rows.length == 3)
+    val users = rows.sortBy(_.getAs[Int]("step")).map(_.getAs[Long]("users"))
+    assert(users.sliding(2).forall(p => p(0) >= p(1)))
+    assert(rows.find(_.getAs[Int]("step") == 1)
+      .get.getAs[Long]("conv_per_10k") == 10000L)
+  }
+
+  test("x143 fuzzy join: every corrupted query recovers its own doc") {
+    val pairs = SparkEntry.queries("x143_fuzzy_join")(spark, sfDir).collect()
+    val self = pairs.filter(r => r.getLong(0) == r.getLong(1))
+    val nQueries = Tables.documents(spark, sfDir)
+      .filter(pmod(col("doc_id"), lit(5)) === 0).count()
+    assert(self.length == nQueries)
+    assert(pairs.forall(_.getAs[Long]("dist") <= 1))
+  }
+
+  test("x144 pagerank: top-20, descending, rank mass concentrated above the uniform start") {
+    val rows = SparkEntry.queries("x144_pagerank")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val ranks = rows.map(_.getAs[Long]("rank_scaled"))
+    assert(ranks.sliding(2).forall(p => p(0) >= p(1)))
+    // The top co-purchased part must sit above the uniform 10^6 start —
+    // damping redistributes mass toward hubs.
+    assert(ranks.head > 1000000L)
+  }
+
+  test("lev1Join blocking is generate-then-verify: shared-deletion distance-2 pairs rejected") {
+    import spark.implicits._
+    // "ab" and "ba" share both 1-deletion variants {a, b} but sit at
+    // Levenshtein distance 2 — the candidate survives blocking and MUST
+    // die in the verify.
+    val q = Seq((1L, "ab")).toDF("q_id", "q")
+    val c = Seq((2L, "ba"), (3L, "ab"), (4L, "abc")).toDF("doc_id", "title")
+    val got = FuzzyJoin.lev1Join(q, c).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((3L, 0L), (4L, 1L)))
+  }
+}
