@@ -247,6 +247,23 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** LSH pairs from PRECOMPUTED band signatures — the incremental path
+    * ([[IncrementalDedup]]), where signatures live in a persisted index
+    * and re-deriving them would re-shingle the whole corpus. Identical
+    * output to [[minhashLshPairs]] over the same docs: the candidate
+    * self-join and the exact verification are the same, only the
+    * signature pass is skipped.
+    */
+  def minhashLshPairsFromSignatures(docs: DataFrame, sigs: DataFrame,
+      threshold: Double): DataFrame = {
+    val candidates = sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifyCandidates(docs, candidates, threshold)
+  }
+
   def minhashLshPairs(docs: DataFrame, threshold: Double,
       bands: Int = 16, rows: Int = 2): DataFrame = {
     val numPerm = bands * rows
