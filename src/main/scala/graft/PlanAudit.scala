@@ -165,6 +165,17 @@ object PlanAudit {
     check("x123_custom_source", "DSv2 id-range pushdown narrows generation at planning time",
       _.contains("range=[1000,50000)"))
 
+    // ---- round-6 additions: line hygiene, fuzzy join, pagerank ----------
+    check("x139_line_repetition", "per-(doc,line) then per-doc aggs are partial+final",
+      p => "HashAggregate".r.findAllIn(p).length >= 4 &&
+        !p.contains("CartesianProduct"))
+    check("x140_line_boilerplate", "line-frequency join back is an equi-join (no nested loop)",
+      p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("x143_fuzzy_join", "deletion-key blocking join (never an all-pairs scan)",
+      p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("x144_pagerank", "3 iterations unrolled into ONE plan (no driver-side loop)",
+      p => "div 1000000".r.findAllIn(p).length >= 3)
+
     // ---- AQE skew-join split on the hot-key fixture ---------------------
     // x135's unsalted SMJ carries half the fact rows on one key. AQE's
     // OptimizeSkewedJoin splits that partition at runtime — but its
