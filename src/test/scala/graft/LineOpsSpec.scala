@@ -43,6 +43,25 @@ class LineOpsSpec extends SparkSuite {
     assert(removedTotal == reportedTotal)
   }
 
+  test("x140 reconstruction law: unaffected docs reassemble to their exact original text") {
+    // A doc with neither injection and nothing removed must round-trip
+    // through chunk-into-lines → reassemble-in-order BYTE-IDENTICALLY
+    // (the corpus is single-spaced, so join(split(text)) == text).
+    val cleaned = LineOps.boilerplateRemoval(docs)
+      .filter(col("n_removed") === 0).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("clean_text")).toMap
+    assert(cleaned.nonEmpty)
+    val originals = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0 &&
+        pmod(col("doc_id"), lit(6)) =!= 0).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    cleaned.foreach { case (id, clean) =>
+      originals.get(id).foreach { text =>
+        val normalized = text.split(" ").filter(_.nonEmpty).mkString(" ")
+        assert(clean == normalized, s"doc $id did not round-trip")
+      }
+    }
+  }
+
   test("x141 report lists the footer with full source spread") {
     val rep = LineOps.boilerplateReport(docs).collect()
     val footer = rep.find(_.getString(0).startsWith("subscribe to our newsletter"))

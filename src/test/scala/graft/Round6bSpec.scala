@@ -33,6 +33,31 @@ class Round6bSpec extends SparkSuite {
     assert(ranks.head > 1000000L)
   }
 
+  test("lev1Join completeness law: 60 seeded random single-edit pairs are all found") {
+    import spark.implicits._
+    // The blocking lemma's promise is NO false negatives at lev <= 1:
+    // generate strings and one random edit each (delete / insert /
+    // substitute), batch them into one join, and require every pair back.
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcde"
+    def randStr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val cases = (0 until 60).map { i =>
+      val s = randStr(5 + rnd.nextInt(10))
+      val pos = rnd.nextInt(s.length)
+      val t = rnd.nextInt(3) match {
+        case 0 => s.substring(0, pos) + s.substring(pos + 1)
+        case 1 => s.substring(0, pos) + alpha(rnd.nextInt(5)) + s.substring(pos)
+        case _ => s.substring(0, pos) + alpha(rnd.nextInt(5)) + s.substring(pos + 1)
+      }
+      (i.toLong, s, t)
+    }
+    val q = cases.map { case (i, s, _) => (i, s) }.toDF("q_id", "q")
+    val c = cases.map { case (i, _, t) => (i, t) }.toDF("doc_id", "title")
+    val found = FuzzyJoin.lev1Join(q, c)
+      .filter(col("q_id") === col("doc_id")).count()
+    assert(found == 60)
+  }
+
   test("lev1Join blocking is generate-then-verify: shared-deletion distance-2 pairs rejected") {
     import spark.implicits._
     // "ab" and "ba" share both 1-deletion variants {a, b} but sit at
