@@ -122,7 +122,67 @@ object Round6bQueries {
        |SELECT node AS part_id, CAST(r AS BIGINT) AS rank_scaled
        |FROM r3 ORDER BY rank_scaled DESC, part_id LIMIT 20""".stripMargin
 
+  /** x145/x146: sequence mining over the per-user event stream. Both ride
+    * ONE window shape — partition by user_id, order by (ts, event_id) —
+    * so the sort amortizes at 100 TB exactly like x15/x19: partitions are
+    * bounded by per-user history, never corpus-sized; everything after
+    * the lead() is a tiny hash aggregate (|event_types|^k rows).
+    */
+  private def pathWindow = org.apache.spark.sql.expressions.Window
+    .partitionBy("user_id").orderBy("ts", "event_id")
+
+  private def eventPaths(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("e2", lead("event_type", 1).over(pathWindow))
+      .withColumn("e3", lead("event_type", 2).over(pathWindow))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(10)
+
+  private val eventPathsSql =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type, 1) OVER w AS e2,
+      |         lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM seq WHERE e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
+
+  private def markov(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val tr = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("src"), col("ts"), col("event_id"))
+      .withColumn("dst", lead("src", 1).over(pathWindow))
+      .filter(col("dst").isNotNull)
+    tr.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .select(col("src"), col("dst"), col("n"),
+        expr("(n * 10000) div tot").as("p_per_10k"))
+      .orderBy("src", "dst")
+  }
+
+  private val markovSql =
+    """WITH tr AS (
+      |  SELECT event_type AS src,
+      |         lead(event_type, 1) OVER (PARTITION BY user_id
+      |                                   ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |c AS (SELECT src, dst, count(*) AS n FROM tr
+      |      WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, CAST(n AS BIGINT) AS n,
+      |       CAST(n * 10000 // sum(n) OVER (PARTITION BY src) AS BIGINT) AS p_per_10k
+      |FROM c ORDER BY src, dst""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x142_funnel", funnel, Some(funnelSql)),
-    QueryDef("x144_pagerank", pagerank, Some(pagerankSql)))
+    QueryDef("x144_pagerank", pagerank, Some(pagerankSql)),
+    QueryDef("x145_event_paths", eventPaths, Some(eventPathsSql)),
+    QueryDef("x146_markov", markov, Some(markovSql)))
 }

@@ -33,6 +33,17 @@ class Round6bSpec extends SparkSuite {
     assert(ranks.head > 1000000L)
   }
 
+  test("x146 markov rows are a stochastic matrix (per-src per-10k sums land in (10000-k, 10000])") {
+    val rows = SparkEntry.queries("x146_markov")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // floor-division loses < 1/10000 per destination: each src row-sum is
+    // within (10000 - #dsts, 10000]
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val s = rs.map(_.getAs[Long]("p_per_10k")).sum
+      assert(s <= 10000 && s > 10000 - rs.length)
+    }
+  }
+
   test("lev1Join completeness law: 60 seeded random single-edit pairs are all found") {
     import spark.implicits._
     // The blocking lemma's promise is NO false negatives at lev <= 1:
