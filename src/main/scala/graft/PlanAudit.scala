@@ -175,6 +175,8 @@ object PlanAudit {
       p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     check("x144_pagerank", "3 iterations unrolled into ONE plan (no driver-side loop)",
       p => "div 1000000".r.findAllIn(p).length >= 3)
+    check("x147_source_quota", "rank-then-filter pushed down as WindowGroupLimit",
+      _.contains("WindowGroupLimit"))
 
     // ---- AQE skew-join split on the hot-key fixture ---------------------
     // x135's unsalted SMJ carries half the fact rows on one key. AQE's

@@ -180,9 +180,40 @@ object Round6bQueries {
       |       CAST(n * 10000 // sum(n) OVER (PARTITION BY src) AS BIGINT) AS p_per_10k
       |FROM c ORDER BY src, dst""".stripMargin
 
+  /** x147: per-source quality quota — the RefinedWeb-style "best N per
+    * domain" cap. rank-then-filter compiles to WindowGroupLimit
+    * (plan-audited), so each source's per-partition buffer holds at most
+    * N rows BEFORE the exchange — the shuffle carries N·|sources| rows,
+    * not the corpus. The x08 quality score supplies the ordering key.
+    */
+  private def sourceQuota(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val q = graft.operators.TextAnalysis.qualityScore(docs)
+      .select("doc_id", "quality")
+    docs.select("doc_id", "source").join(q, "doc_id")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("quality").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= 40)
+      .select("doc_id", "source", "quality", "rk")
+      .orderBy("source", "rk")
+  }
+
+  private val sourceQuotaSql =
+    s"""SELECT doc_id, source, quality, rk FROM (
+       |  SELECT d.doc_id, d.source, q.quality,
+       |         row_number() OVER (PARTITION BY d.source
+       |                            ORDER BY q.quality DESC, d.doc_id) AS rk
+       |  FROM documents d
+       |  JOIN (${graft.operators.TextAnalysis.qualityScoreSql}) q
+       |    ON d.doc_id = q.doc_id) r
+       |WHERE rk <= 40 ORDER BY source, rk""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x142_funnel", funnel, Some(funnelSql)),
     QueryDef("x144_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("x145_event_paths", eventPaths, Some(eventPathsSql)),
-    QueryDef("x146_markov", markov, Some(markovSql)))
+    QueryDef("x146_markov", markov, Some(markovSql)),
+    QueryDef("x147_source_quota", sourceQuota, Some(sourceQuotaSql)))
 }
