@@ -210,10 +210,38 @@ object Round6bQueries {
        |    ON d.doc_id = q.doc_id) r
        |WHERE rk <= 40 ORDER BY source, rk""".stripMargin
 
+  /** x148: classifier-monitoring — the lang-ID confusion matrix
+    * (labeled lang × x07 prediction, per-10k recall split per label
+    * row). The eval every production quality/language classifier ships
+    * with; one |langs|²-sized aggregate after the x07 pass, shuffle
+    * bounded by label cardinality.
+    */
+  private def langConfusion(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pred = graft.operators.TextAnalysis.langId(docs)
+      .select("doc_id", "pred_lang")
+    docs.select("doc_id", "lang").join(pred, "doc_id")
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        expr("(n * 10000) div tot").as("per_10k"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  private val langConfusionSql =
+    s"""WITH pred AS (${graft.operators.TextAnalysis.langIdSql})
+       |SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(count(*) * 10000 // sum(count(*)) OVER (PARTITION BY d.lang) AS BIGINT) AS per_10k
+       |FROM documents d JOIN pred p USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x142_funnel", funnel, Some(funnelSql)),
     QueryDef("x144_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("x145_event_paths", eventPaths, Some(eventPathsSql)),
     QueryDef("x146_markov", markov, Some(markovSql)),
-    QueryDef("x147_source_quota", sourceQuota, Some(sourceQuotaSql)))
+    QueryDef("x147_source_quota", sourceQuota, Some(sourceQuotaSql)),
+    QueryDef("x148_lang_confusion", langConfusion, Some(langConfusionSql)))
 }
