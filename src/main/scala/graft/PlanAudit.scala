@@ -177,6 +177,8 @@ object PlanAudit {
       p => "div 1000000".r.findAllIn(p).length >= 3)
     check("x147_source_quota", "rank-then-filter pushed down as WindowGroupLimit",
       _.contains("WindowGroupLimit"))
+    check("x143_fuzzy_join", "verify predicate rewritten to the banded graft_lev_leq kernel",
+      _.contains("graft_lev_leq"))
 
     // ---- AQE skew-join split on the hot-key fixture ---------------------
     // x135's unsalted SMJ carries half the fact rows on one key. AQE's

@@ -136,7 +136,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => DotProduct(es.head, es(1))),
     (new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))),
+    (new FunctionIdentifier("graft_lev_leq"),
+      new ExpressionInfo(classOf[BoundedLevenshtein].getName, "graft_lev_leq"),
+      (es: Seq[Expression]) => BoundedLevenshtein(es.head, es(1), es(2))))
 
   /** Idempotent per-session registration — works on any session, including
     * ones created without the extensions config.
@@ -165,7 +168,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_cosine"),
         new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
         (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_lev_leq"),
+        new ExpressionInfo(classOf[BoundedLevenshtein].getName, "graft_lev_leq"),
+        (es: Seq[Expression]) => BoundedLevenshtein(es.head, es(1), es(2))))
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
+    ext.injectOptimizerRule(_ => RewriteLevenshteinBound)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }

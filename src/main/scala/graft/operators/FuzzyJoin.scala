@@ -40,6 +40,16 @@ object FuzzyJoin {
     * @param corpus  (doc_id, title) — short strings to resolve against
     */
   def lev1Join(queries: DataFrame, corpus: DataFrame): DataFrame = {
+    // Idempotent rule injection (the AsofJoin pattern): the verify filter
+    // below is WRITTEN as `levenshtein(q, title) <= 1`; the rule rewrites
+    // it to the banded early-exit kernel `graft_lev_leq` in the optimized
+    // plan (PlanAudit asserts this on x143).
+    val spark = queries.sparkSession
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.functions.RewriteLevenshteinBound))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.functions.RewriteLevenshteinBound
     def withKeys(df: DataFrame, s: String): DataFrame =
       df.selectExpr(df.columns :+
         (s"explode(concat(array($s), transform(sequence(1, length($s)), " +

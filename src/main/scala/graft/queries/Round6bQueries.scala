@@ -81,11 +81,19 @@ object Round6bQueries {
       : org.apache.spark.sql.DataFrame = {
     val op = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    // The graph is consumed 5× (3 iteration joins + deg + nodes):
+    // materialize it once, or the basket self-join re-runs per consumer
+    // (6.3 s in-suite before; 3.8 s isolated after, at sf0.1). Production
+    // would persist the edge table anyway — iterate-over-snapshot, not
+    // over lineage.
     val edges = op.as("a").join(op.as("b"),
         col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
       .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+      .localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
     var r = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to 3) {
       val contrib = edges

@@ -69,6 +69,41 @@ class Round6bSpec extends SparkSuite {
     assert(found == 60)
   }
 
+  test("graft_lev_leq kernel ≡ levenshtein(a,b) <= k on 200 random pairs, k in 0..3") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcd"
+    def randStr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    // Mix of near pairs (single edits), far pairs (independent), and
+    // length-gap pairs (the no-DP fast path).
+    val pairs = (0 until 200).map { i =>
+      val s = randStr(3 + rnd.nextInt(12))
+      val t = i % 3 match {
+        case 0 => val p = rnd.nextInt(s.length); s.substring(0, p) + s.substring(p + 1)
+        case 1 => randStr(3 + rnd.nextInt(12))
+        case _ => randStr(s.length + 4 + rnd.nextInt(4))
+      }
+      (s, t)
+    }.toDF("a", "b")
+    (0 to 3).foreach { k =>
+      val mismatch = pairs.filter(
+        expr(s"graft_lev_leq(a, b, $k) != (levenshtein(a, b) <= $k)")).count()
+      assert(mismatch == 0, s"k=$k")
+    }
+  }
+
+  test("RewriteLevenshteinBound puts the banded kernel into the optimized plan") {
+    import spark.implicits._
+    // lev1Join injects the rule idempotently; its own verify filter is
+    // WRITTEN as levenshtein <= 1 and must come out rewritten.
+    val q = Seq((1L, "abcde")).toDF("q_id", "q")
+    val c = Seq((2L, "abde")).toDF("doc_id", "title")
+    val joined = FuzzyJoin.lev1Join(q, c)
+    assert(joined.collect().map(_.getLong(1)).toSet == Set(2L))
+    assert(joined.queryExecution.optimizedPlan.toString.contains("graft_lev_leq"))
+  }
+
   test("lev1Join blocking is generate-then-verify: shared-deletion distance-2 pairs rejected") {
     import spark.implicits._
     // "ab" and "ba" share both 1-deletion variants {a, b} but sit at
