@@ -651,7 +651,131 @@ object StreamingOps {
       .toDF("user_id", "session_id", "n_events", "first_event", "dur_us")
   }
 
+  /** Staged documents stream: the documents parquet split into 4 files so
+    * `maxFilesPerTrigger=1` yields genuinely incremental microbatches
+    * (the events stager's idiom, doc-shaped).
+    */
+  private def stagedDocsStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    val srcPath = Paths.get(dir, "documents.parquet")
+    val stageKey = java.lang.Long.toHexString(
+      java.util.Objects.hash("docs", dir, Files.size(srcPath),
+        Files.getLastModifiedTime(srcPath).toMillis).toLong & 0xffffffffL)
+    val staged = Paths.get(sys.props("java.io.tmpdir"), s"graft_docstream_$stageKey")
+    if (!Files.isDirectory(staged)) {
+      val tmp = Paths.get(
+        staged.toString + s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      spark.read.schema(docSchema).parquet(srcPath.toString)
+        .repartition(4).write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, staged, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.DirectoryNotEmptyException => () }
+    }
+    spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+  }
+
+  /** Streaming fuzzy entity resolution — the streaming twin of the x143
+    * deletion-neighborhood join: as title rows arrive, each 1-deletion
+    * blocking key's group state accumulates its (id, title) members
+    * (`flatMapGroupsWithState` — the similarity INDEX built incrementally,
+    * the way a streaming ingest pipeline maintains its LSH/blocking
+    * store), and every new member emits verified lev<=1 pairs against the
+    * members already in state.
+    *
+    * Determinism argument (why a drained stream can share a batch
+    * oracle): which microbatch a pair is emitted IN depends on arrival
+    * order, but the UNION of emissions over a full drain is exactly "all
+    * intra-key verified pairs" — an order-free set — and the declared
+    * output reduces it further to per-doc min neighbor id (a commutative
+    * aggregate). Same class of argument as x44's set-valued dedup.
+    *
+    * Scale: state per blocking key is its member list — the same bucket
+    * structure the batch join shuffles on; watermark+TTL (x-session
+    * pattern) would bound it on an unbounded stream.
+    */
+  def streamingFuzzyEntity(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame =
+    withShufflePartitions(spark, 8) {
+      import spark.implicits._
+      val titled = stagedDocsStream(spark, dir)
+        .selectExpr("doc_id",
+          "array_join(slice(filter(split(text, ' '), w -> w != ''), 1, 7), ' ') AS title")
+        .selectExpr("doc_id", "title",
+          "explode(concat(array(title), transform(sequence(1, length(title)), " +
+            "i -> concat(left(title, i - 1), substring(title, i + 1))))) AS k")
+      val pairs = titled.as[(Long, String, String)]
+        .groupByKey(_._3)
+        .flatMapGroupsWithState[Seq[(Long, String)], (Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (_: String, batch: Iterator[(Long, String, String)],
+              state: GroupState[Seq[(Long, String)]]) =>
+            var members = state.getOption.getOrElse(Seq.empty)
+            val out = scala.collection.mutable.Buffer.empty[(Long, Long)]
+            // In-batch order pinned by id so within-batch emission is
+            // reproducible; cross-batch coverage is order-free (see doc).
+            batch.toSeq.sortBy(_._1).foreach { case (id, title, _) =>
+              members.foreach { case (mid, mtitle) =>
+                if (mid != id && graft.functions.BoundedLevCore.leq(
+                    org.apache.spark.unsafe.types.UTF8String.fromString(title),
+                    org.apache.spark.unsafe.types.UTF8String.fromString(mtitle), 1))
+                  out += ((math.min(id, mid), math.max(id, mid)))
+              }
+              if (!members.exists(_._1 == id)) members = members :+ ((id, title))
+            }
+            state.update(members)
+            out.iterator
+        }
+        .toDF("a", "b")
+      spark.catalog.dropTempView(sinkName)
+      val q = pairs.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // Reduce the drained pair set to the declared order-free output:
+      // per doc, the minimum id among {self} ∪ {lev<=1 neighbors}.
+      val p = spark.table(sinkName).distinct()
+      val und = p.unionByName(
+        p.select(col("b").as("a"), col("a").as("b")))
+      Tables.documents(spark, dir).select(col("doc_id"))
+        .join(und.withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left")
+        .groupBy("doc_id")
+        .agg(least(coalesce(min(col("b")), col("doc_id")), col("doc_id"))
+          .as("entity_id"))
+        .orderBy("doc_id")
+    }
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "x149_stream_fuzzy",
+      (s, dir) => streamingFuzzyEntity(s, dir, "x149_stream_fuzzy_sink"),
+      Some("""WITH titles AS (
+             |  SELECT doc_id,
+             |         array_to_string(list_filter(string_split(text, ' '), x -> x <> '')[1:7], ' ') AS title
+             |  FROM documents),
+             |keys AS (
+             |  SELECT doc_id, title,
+             |         unnest([title] || list_transform(generate_series(1, length(title)),
+             |                i -> left(title, i-1) || substring(title, i+1))) AS k
+             |  FROM titles),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.title AS ta, y.title AS tb
+             |  FROM keys x JOIN keys y ON x.k = y.k AND x.doc_id <> y.doc_id),
+             |nb AS (SELECT a, b FROM cand WHERE levenshtein(ta, tb) <= 1)
+             |SELECT t.doc_id,
+             |       least(t.doc_id, coalesce(min(nb.b), t.doc_id)) AS entity_id
+             |FROM titles t LEFT JOIN nb ON nb.a = t.doc_id
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
     QueryDef(
       "x17_stream_tumbling",
       (s, dir) => tumblingHourly(s, dir, "x17_stream_tumbling_sink"),

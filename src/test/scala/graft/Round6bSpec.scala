@@ -44,6 +44,25 @@ class Round6bSpec extends SparkSuite {
     }
   }
 
+  test("x149 drained stream equals an independent batch min-neighbor computation") {
+    val streamed = SparkEntry.queries("x149_stream_fuzzy")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Batch recomputation through a DIFFERENT code path: the x143 join on
+    // titles-vs-titles, reduced to min over {self} ∪ neighbors.
+    val titles = Tables.documents(spark, sfDir).select(col("doc_id"),
+      array_join(slice(filter(split(col("text"), " "),
+        (w: org.apache.spark.sql.Column) => w =!= ""), 1, 7), " ").as("title"))
+    val pairs = FuzzyJoin.lev1Join(
+      titles.select(col("doc_id").as("q_id"), col("title").as("q")), titles)
+      .filter(col("q_id") =!= col("doc_id")).collect()
+    val neighbors = pairs.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).min).toMap
+    val batch = titles.select("doc_id").collect().map(_.getLong(0))
+      .map(id => id -> math.min(id, neighbors.getOrElse(id, id))).toMap
+    assert(streamed == batch)
+    assert(streamed.exists { case (id, e) => e != id }) // fixture has real merges
+  }
+
   test("lev1Join completeness law: 60 seeded random single-edit pairs are all found") {
     import spark.implicits._
     // The blocking lemma's promise is NO false negatives at lev <= 1:
