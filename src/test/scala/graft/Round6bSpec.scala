@@ -33,6 +33,21 @@ class Round6bSpec extends SparkSuite {
     assert(ranks.head > 1000000L)
   }
 
+  test("edge cases: empty inputs flow through the new operators without error") {
+    import spark.implicits._
+    val noDocs = Tables.documents(spark, sfDir).filter(col("doc_id") < 0)
+    assert(graft.operators.LineOps.boilerplateRemoval(noDocs).count() == 0)
+    assert(graft.operators.LineOps.lineRepetition(noDocs).count() == 0)
+    val noQ = Seq.empty[(Long, String)].toDF("q_id", "q")
+    val c = Seq((1L, "abc")).toDF("doc_id", "title")
+    assert(FuzzyJoin.lev1Join(noQ, c).count() == 0)
+    // Empty-string queries still block and verify correctly (lev("", t)).
+    val empty = Seq((9L, "")).toDF("q_id", "q")
+    val short = Seq((1L, "a"), (2L, "ab")).toDF("doc_id", "title")
+    val got = FuzzyJoin.lev1Join(empty, short).collect().map(_.getLong(1)).toSet
+    assert(got == Set(1L))
+  }
+
   test("x146 markov rows are a stochastic matrix (per-src per-10k sums land in (10000-k, 10000])") {
     val rows = SparkEntry.queries("x146_markov")(spark, sfDir).collect()
     assert(rows.nonEmpty)
