@@ -245,11 +245,54 @@ object Round6bQueries {
        |FROM documents d JOIN pred p USING (doc_id)
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** x150: cohort retention matrix — users grouped by first-activity day,
+    * per-10k retention at each day offset. Cohort starts are STAGGERED
+    * deterministically (a user's events only count from day-of-month >
+    * user_id % 14 — the derived-fixture pattern) so the matrix has real
+    * cohort structure on the synthetic stream. Two hash aggregates + one
+    * equi-join on user_id; DATE-typed cohort keys and datediff day
+    * offsets keep both engines integer-exact.
+    */
+  private def retention(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      .filter(dayofmonth(col("ts")) > pmod(col("user_id"), lit(14)))
+    val first = ev.groupBy("user_id").agg(to_date(min("ts")).as("cohort_day"))
+    val act = ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        datediff(to_date(col("ts")), col("cohort_day")).cast("long").as("days_since"))
+      .distinct()
+    val size = first.groupBy("cohort_day").agg(count(lit(1)).as("n0"))
+    act.groupBy("cohort_day", "days_since").agg(count(lit(1)).as("active"))
+      .join(size, "cohort_day")
+      .select(col("cohort_day"), col("days_since"), col("active"),
+        expr("(active * 10000) div n0").as("retained_per_10k"))
+      .orderBy("cohort_day", "days_since")
+  }
+
+  private val retentionSql =
+    """WITH ev AS (
+      |  SELECT user_id, ts FROM events WHERE extract(day FROM ts) > user_id % 14),
+      |first AS (
+      |  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+      |  FROM ev GROUP BY 1),
+      |act AS (
+      |  SELECT DISTINCT e.user_id, f.cohort_day,
+      |         CAST(date_diff('day', f.cohort_day,
+      |                        CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT) AS days_since
+      |  FROM ev e JOIN first f USING (user_id)),
+      |sz AS (SELECT cohort_day, count(*) AS n0 FROM first GROUP BY 1)
+      |SELECT a.cohort_day, a.days_since, CAST(count(*) AS BIGINT) AS active,
+      |       CAST(count(*) * 10000 // any_value(s.n0) AS BIGINT) AS retained_per_10k
+      |FROM act a JOIN sz s USING (cohort_day)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x142_funnel", funnel, Some(funnelSql)),
     QueryDef("x144_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("x145_event_paths", eventPaths, Some(eventPathsSql)),
     QueryDef("x146_markov", markov, Some(markovSql)),
     QueryDef("x147_source_quota", sourceQuota, Some(sourceQuotaSql)),
-    QueryDef("x148_lang_confusion", langConfusion, Some(langConfusionSql)))
+    QueryDef("x148_lang_confusion", langConfusion, Some(langConfusionSql)),
+    QueryDef("x150_retention", retention, Some(retentionSql)))
 }
