@@ -287,6 +287,84 @@ object Round6bQueries {
       |FROM act a JOIN sz s USING (cohort_day)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** x151: RFM segmentation — recency/frequency/monetary quintiles per
+    * user (ntile(5), fully tie-broken so both engines bucket
+    * identically), reported as segment-cell user counts. The global
+    * ntile needs a total order — fine at user-dimension cardinality
+    * (users ≪ events; the window input is ONE row per user after the
+    * aggregate); at true 100 TB user counts the production swap is
+    * approx-quantile cutoffs (x49) joined as bucket bounds, same
+    * output contract.
+    */
+  private def rfm(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.QueryDef.dsum
+    val w = org.apache.spark.sql.expressions.Window
+    val m = Tables.events(s, dir).groupBy("user_id").agg(
+      datediff(lit("2024-02-01").cast("date"), to_date(max("ts")))
+        .cast("long").as("recency_days"),
+      count(lit(1)).as("frequency"),
+      dsum(col("value")).as("monetary"))
+    m.select(col("user_id"),
+        ntile(5).over(w.orderBy(col("recency_days"), col("user_id")))
+          .cast("long").as("r_q"),
+        ntile(5).over(w.orderBy(col("frequency").desc, col("user_id")))
+          .cast("long").as("f_q"),
+        ntile(5).over(w.orderBy(col("monetary").desc, col("user_id")))
+          .cast("long").as("m_q"))
+      .groupBy("r_q", "f_q", "m_q").agg(count(lit(1)).as("users"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  private val rfmSql =
+    """WITH m AS (
+      |  SELECT user_id,
+      |         CAST(date_diff('day', CAST(date_trunc('day', max(ts)) AS DATE),
+      |                        DATE '2024-02-01') AS BIGINT) AS recency_days,
+      |         CAST(count(*) AS BIGINT) AS frequency,
+      |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      |  FROM events GROUP BY 1),
+      |b AS (
+      |  SELECT user_id,
+      |         CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_q,
+      |         CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_q,
+      |         CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_q
+      |  FROM m)
+      |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS users
+      |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** x152: triangle count on the co-purchase graph via EDGE ORIENTATION —
+    * edges kept only as (u < v), so each triangle is generated exactly
+    * once as u < v < w and the wedge join's fan-out is bounded by
+    * oriented out-degree (the canonical distributed triangle-counting
+    * trick; production orients by degree instead of id to cap hub
+    * fan-out). The oriented edge list feeds three join arms →
+    * materialized once, not re-derived per arm (the x144 lesson).
+    */
+  private def triangles(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val op = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      .localCheckpoint()
+    e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).as("triangles"),
+        countDistinct(col("e1.u")).as("apex_nodes"))
+  }
+
+  private val trianglesSql =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      |t AS (SELECT e1.u FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT CAST(count(*) AS BIGINT) AS triangles,
+      |       CAST(count(DISTINCT u) AS BIGINT) AS apex_nodes FROM t""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x142_funnel", funnel, Some(funnelSql)),
     QueryDef("x144_pagerank", pagerank, Some(pagerankSql)),
@@ -294,5 +372,7 @@ object Round6bQueries {
     QueryDef("x146_markov", markov, Some(markovSql)),
     QueryDef("x147_source_quota", sourceQuota, Some(sourceQuotaSql)),
     QueryDef("x148_lang_confusion", langConfusion, Some(langConfusionSql)),
-    QueryDef("x150_retention", retention, Some(retentionSql)))
+    QueryDef("x150_retention", retention, Some(retentionSql)),
+    QueryDef("x151_rfm", rfm, Some(rfmSql)),
+    QueryDef("x152_triangles", triangles, Some(trianglesSql)))
 }
