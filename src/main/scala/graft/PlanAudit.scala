@@ -179,6 +179,10 @@ object PlanAudit {
       _.contains("WindowGroupLimit"))
     check("x143_fuzzy_join", "verify predicate rewritten to the banded graft_lev_leq kernel",
       _.contains("graft_lev_leq"))
+    check("x152_triangles", "closing-edge probe broadcast (wedge set never shuffles)",
+      _.contains("BroadcastHashJoin"))
+    check("x153_source_drift", "vocabulary broadcast to the per-source grid",
+      p => p.contains("BroadcastExchange"))
 
     // ---- AQE skew-join split on the hot-key fixture ---------------------
     // x135's unsalted SMJ carries half the fact rows on one key. AQE's

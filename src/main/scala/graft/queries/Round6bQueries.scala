@@ -369,7 +369,57 @@ object Round6bQueries {
       |SELECT CAST(count(*) AS BIGINT) AS triangles,
       |       CAST(count(DISTINCT u) AS BIGINT) AS apex_nodes FROM t""".stripMargin
 
+  /** x153: per-source distribution-drift monitor — L1 distance between
+    * each source's token distribution and the corpus distribution over
+    * the top-30 vocabulary, in per-10k integer space. The data-quality
+    * check a corpus intake runs per ingest batch. Scale shape: the vocab
+    * is an aggregate (broadcast, the x72 argument), per-source counts
+    * are one map-side-combinable groupBy(source, w), and the grid is
+    * |sources|×30.
+    */
+  private def sourceDrift(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = Tables.documents(s, dir).select(col("source"),
+      explode(filter(split(lower(col("text")), " "),
+        (w: org.apache.spark.sql.Column) => w =!= "")).as("w"))
+    val corpus = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = corpus.agg(sum(col("c")).as("n"))
+    val vocab = corpus.crossJoin(broadcast(total))
+      .select(col("w"), expr("(c * 10000) div n").as("corpus_per_10k"), col("c"))
+      .orderBy(col("c").desc, col("w")).limit(30)
+      .select("w", "corpus_per_10k")
+    val srcTot = toks.groupBy("source").agg(count(lit(1)).as("n"))
+    val srcCnt = toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+    srcTot.crossJoin(broadcast(vocab))
+      .join(srcCnt, Seq("source", "w"), "left")
+      .select(col("source"),
+        abs(expr("(coalesce(c, 0) * 10000) div n") - col("corpus_per_10k"))
+          .as("d"))
+      .groupBy("source").agg(sum(col("d")).as("l1_drift"))
+      .orderBy("source")
+  }
+
+  private val sourceDriftSql =
+    """WITH toks AS (
+      |  SELECT source,
+      |         unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |corpus AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+      |total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM corpus),
+      |vocab AS (SELECT w, CAST(c * 10000 // (SELECT n FROM total) AS BIGINT) AS corpus_per_10k
+      |          FROM corpus ORDER BY c DESC, w LIMIT 30),
+      |src_tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+      |src_cnt AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT st.source, v.w, v.corpus_per_10k,
+      |         CAST(coalesce(sc.c, 0) * 10000 // st.n AS BIGINT) AS src_per_10k
+      |  FROM src_tot st CROSS JOIN vocab v
+      |  LEFT JOIN src_cnt sc ON sc.source = st.source AND sc.w = v.w)
+      |SELECT source, CAST(sum(abs(src_per_10k - corpus_per_10k)) AS BIGINT) AS l1_drift
+      |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x153_source_drift", sourceDrift, Some(sourceDriftSql)),
     QueryDef("x142_funnel", funnel, Some(funnelSql)),
     QueryDef("x144_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("x145_event_paths", eventPaths, Some(eventPathsSql)),
