@@ -754,7 +754,79 @@ object StreamingOps {
         .orderBy("doc_id")
     }
 
+  /** Streaming dead-letter routing — the streaming twin of x131's
+    * corrupt-record quarantine, exercising the one streaming consumer
+    * shape nothing else covers: `foreachBatch` writing TWO sinks per
+    * microbatch (clean path + DLQ). Each microbatch is split on
+    * field-extractability (PERMISSIVE from_json semantics, the x131
+    * injector) and appended to per-path parquet sinks; after the drain
+    * the two sinks are read back and reduced to x131's exact output
+    * shape — x154 SHARES x131's oracle string, so the driver
+    * hash-certifies streaming-split ≡ batch-quarantine.
+    *
+    * Scale: the split predicate is row-local (narrow), each sink append
+    * is the parquet commit protocol, and the DLQ keeps full payloads for
+    * replay — the standard ingest-pipeline contract.
+    */
+  def streamingDlq(spark: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(spark, 8) {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(sys.props("java.io.tmpdir"), "graft_x154_dlq")
+      def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        val s = Files.walk(p)
+        try s.iterator().asScala.toSeq.reverse.foreach(Files.delete) finally s.close()
+      }
+      val vDir = base.resolve("valid")
+      val dDir = base.resolve("dlq")
+      rm(vDir); rm(dDir) // bench may invoke twice: appends must start clean
+      val mangled = when(pmod(col("event_id"), lit(7)) === 0,
+        col("props").substr(lit(1), (length(col("props")) / 2).cast("int")))
+        .otherwise(col("props"))
+      val parsed = from_json(mangled, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+      val stream = stagedEventsStream(spark, dir)
+        .select(col("event_type"), parsed.as("p"))
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val b = batch.persist()
+          b.filter(col("p.k").isNotNull).write.mode("append").parquet(vDir.toString)
+          b.filter(col("p.k").isNull).write.mode("append").parquet(dDir.toString)
+          b.unpersist()
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val valid = spark.read.parquet(vDir.toString)
+        .select(col("event_type"), col("p.k").as("k"))
+      val dlq = spark.read.parquet(dDir.toString)
+        .select(col("event_type"), lit(null).cast("long").as("k"))
+      valid.unionByName(dlq)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_arrived"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_quarantined"),
+          sum(col("k")).as("k_sum"))
+        .orderBy("event_type")
+    }
+
+  /** x131's oracle, shared verbatim: the hash gate proves the streaming
+    * two-sink split reduces to exactly the batch quarantine.
+    */
+  private def x131Oracle: String =
+    graft.queries.Round5fQueries.all
+      .find(_.name == "x131_quarantine")
+      .flatMap(_.oracle)
+      .getOrElse(sys.error("x131 oracle missing"))
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "x154_stream_dlq",
+      (s, dir) => streamingDlq(s, dir),
+      Some(x131Oracle)),
+
     QueryDef(
       "x149_stream_fuzzy",
       (s, dir) => streamingFuzzyEntity(s, dir, "x149_stream_fuzzy_sink"),
