@@ -60,6 +60,23 @@ class SourceSinkSpec extends SparkSuite {
       docs.orderBy("text").collect().toSeq)
   }
 
+  test("schema evolution: mergeSchema unifies old and new snapshot columns") {
+    // The recurring-ingest reality: a later snapshot adds a column. Old
+    // files must keep reading (null-filled), new files carry the field.
+    val path = tmp("evolving")
+    val v1 = Tables.documents(spark, sfDir).select("doc_id", "text")
+    v1.write.parquet(s"$path/s=1")
+    val v2 = Tables.documents(spark, sfDir)
+      .select(col("doc_id") + 1000000L as "doc_id", col("text"), col("lang"))
+    v2.write.parquet(s"$path/s=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.toSet == Set("doc_id", "text", "lang", "s"))
+    assert(merged.count() == v1.count() + v2.count())
+    // old-snapshot rows read the evolved column as null; new rows don't
+    assert(merged.filter(col("s") === 1 && col("lang").isNotNull).count() == 0)
+    assert(merged.filter(col("s") === 2 && col("lang").isNull).count() == 0)
+  }
+
   test("partitioned parquet sink: reads prune partitions") {
     val ev = Tables.events(spark, sfDir)
     val path = tmp("events_part")
