@@ -54,6 +54,10 @@ object EntityResolution {
       : (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, sfDir)
     val canonical = docs.select(col("doc_id"), title.as("title"))
+    resolve(incomingOf(canonical), canonical)
+  }
+
+  private def incomingOf(canonical: DataFrame): DataFrame = {
     val corrupted = canonical.filter(pmod(col("doc_id"), lit(5)) === 0)
       .withColumn("k", pmod(col("doc_id"), lit(20)).cast("int"))
       .selectExpr("doc_id AS q_id",
@@ -61,6 +65,36 @@ object EntityResolution {
     val novel = canonical.filter(pmod(col("doc_id"), lit(7)) === 0)
       .select((col("doc_id") + 1000000L).as("q_id"),
         concat(lit("zzz "), reverse(col("title"))).as("q"))
-    resolve(corrupted.unionByName(novel), canonical)
+    corrupted.unionByName(novel)
   }
+
+  /** The same flow as a [[graft.pipeline.PipeGraph]] pipeline (the
+    * reference's dataflow surface): one producer, a resolve stage, a
+    * routing split into resolved / unresolved, two parquet consumers.
+    * Both query sides derive from the canonical pipe inside the stage —
+    * the reference's one-reader-per-pipe law holds.
+    */
+  def build(sfDir: String, outDir: String): graft.pipeline.PipeGraph =
+    graft.pipeline.PipeGraph.builder
+      .producer("canonical")(s =>
+        Tables.documents(s, sfDir).select(col("doc_id"), title.as("title")))
+      .stage("canonical", "matched") { canonical =>
+        val (resolved, unresolved) = resolve(incomingOf(canonical), canonical)
+        resolved.withColumn("status", lit("resolved"))
+          .unionByName(unresolved
+            .select(col("q_id"), lit(null).cast("long").as("entity_id"))
+            .withColumn("status", lit("unresolved")))
+      }
+      .branchingStage("matched", Seq("resolved", "unresolved")) { m =>
+        Seq(m.filter(col("status") === "resolved").drop("status"),
+          m.filter(col("status") === "unresolved").select("q_id"))
+      }
+      .consumer("resolved")(df => df.orderBy("q_id")
+        .write.mode("overwrite").parquet(s"$outDir/resolved"))
+      .consumer("unresolved")(df => df.orderBy("q_id")
+        .write.mode("overwrite").parquet(s"$outDir/unresolved"))
+      .build() match {
+        case Right(g) => g
+        case Left(err) => sys.error(err)
+      }
 }

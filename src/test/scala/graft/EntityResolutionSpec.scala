@@ -30,4 +30,17 @@ class EntityResolutionSpec extends SparkSuite {
     assert(r.size + unresolved.count() ==
       corruptedIds.size + expectedNovel)
   }
+
+  test("PipeGraph rendering writes the same resolved/unresolved split to its sinks") {
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_er_spec").toString
+    EntityResolution.build(sfDir, out).run(spark)
+    val (resolved, unresolved) = EntityResolution.run(sfDir, spark)
+    val sinkR = spark.read.parquet(s"$out/resolved")
+    val sinkU = spark.read.parquet(s"$out/unresolved")
+    assert(sinkR.orderBy("q_id").collect().toSeq ==
+      resolved.orderBy("q_id").collect().toSeq)
+    assert(sinkU.select("q_id").orderBy("q_id").collect().toSeq ==
+      unresolved.select("q_id").orderBy("q_id").collect().toSeq)
+  }
 }
