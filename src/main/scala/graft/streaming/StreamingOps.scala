@@ -754,6 +754,107 @@ object StreamingOps {
         .orderBy("doc_id")
     }
 
+  /** Deliberately DISORDERED staged events stream: 4 files bucketed by
+    * `event_id % 4` (each bucket spans the full time range) with pinned
+    * ascending mtimes, so the file source replays them in a known order
+    * and every bucket after the first arrives almost entirely BEHIND the
+    * watermark. The fixture that makes late-data semantics testable.
+    */
+  private def stagedDisorderedEventsStream(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val srcPath = Paths.get(dir, "events.parquet")
+    val stageKey = java.lang.Long.toHexString(
+      java.util.Objects.hash("disorder", dir, Files.size(srcPath),
+        Files.getLastModifiedTime(srcPath).toMillis).toLong & 0xffffffffL)
+    val rawSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val staged = Paths.get(sys.props("java.io.tmpdir"), s"graft_disstream_$stageKey")
+    if (!Files.isDirectory(staged)) {
+      val tmp = Paths.get(
+        staged.toString + s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.createDirectories(tmp)
+      // raw long nanos ts (watermarks need TimestampType, converted by
+      // the consumer — the stagedEventsStream convention)
+      val ev = spark.read.schema(rawSchema).parquet(srcPath.toString)
+      (0 until 4).foreach { k =>
+        val part = Paths.get(tmp.toString, s"bucket_$k")
+        ev.filter(pmod(col("event_id"), lit(4)) === k)
+          .coalesce(1).write.mode("overwrite").parquet(part.toString)
+        val f = {
+          val s0 = Files.list(part)
+          try s0.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("part-")).toSeq.head
+          finally s0.close()
+        }
+        val dst = Paths.get(tmp.toString, f"b$k%02d.parquet")
+        Files.move(f, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 1000L))
+        // drop the helper dir so only the bucket files remain
+        val s1 = Files.walk(part)
+        try s1.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally s1.close()
+      }
+      try Files.move(tmp, staged, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.DirectoryNotEmptyException => () }
+    }
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+  }
+
+  /** x155: watermark late-data semantics, DETERMINISTIC. The disordered
+    * staging replays time-interleaved buckets in a pinned order, so
+    * which rows the stateful aggregation DROPS is a pure function of the
+    * data: a row of bucket k is dropped iff its window is already
+    * expired against the watermark APPLIED to batch k — which, measured
+    * (see the oracle's comment), is `max(ts through batch k-2) − delay`:
+    * the update lands two triggers after the data that produced it. Rows
+    * for still-open windows aggregate even when their own ts is behind
+    * the watermark (expired-WINDOW rule, also adjudicated empirically).
+    * The oracle replays both rules relationally — the drained result
+    * hash-matching it at all three scale factors certifies the engine's
+    * late-drop boundary, the same class of proof as x114's
+    * sentinel-flushed outer join.
+    */
+  def streamingLateData(spark: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(spark, 8) {
+      val state = scala.collection.concurrent.TrieMap
+        .empty[(java.sql.Timestamp, String), Long]
+      val q = stagedDisorderedEventsStream(spark, dir)
+        .withColumn("tsc", expr("timestamp_micros(ts DIV 1000)"))
+        .withWatermark("tsc", "1 hour")
+        .groupBy(window(col("tsc"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("c"))
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // Update-mode rows carry each touched key's CURRENT total —
+          // upsert into the (windows × types)-bounded result map.
+          batch.collect().foreach { r =>
+            state.put((r.getTimestamp(0), r.getString(1)), r.getLong(2))
+          }
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      import spark.implicits._
+      state.toSeq.map { case ((w, t), c) => (w, t, c) }
+        .toDF("w_start", "event_type", "c")
+        .orderBy("w_start", "event_type")
+    }
+
   /** Streaming dead-letter routing — the streaming twin of x131's
     * corrupt-record quarantine, exercising the one streaming consumer
     * shape nothing else covers: `foreachBatch` writing TWO sinks per
@@ -826,6 +927,38 @@ object StreamingOps {
       "x154_stream_dlq",
       (s, dir) => streamingDlq(s, dir),
       Some(x131Oracle)),
+
+    // Watermark late-drop boundary as a pure function of the data. Two
+    // facts MEASURED before this oracle was written (ScratchWm probe,
+    // stable across runs): (1) the watermark APPLIED to batch k's input
+    // is derived from the max event time through batch k-2 — the update
+    // lands in the offset metadata two triggers after the data that
+    // produced it under this engine's trigger pipeline (progress rows:
+    // batch 1 wm=18:30 yet dropped=0; batch 2 dropped exactly the rows
+    // older than batch-0's max − delay); (2) the drop rule is EXPIRED
+    // WINDOW (window_end > wm keeps), not raw event time — the two
+    // differ by exactly one row on this fixture and the window rule
+    // matches. Window ends are hour-aligned while watermarks carry
+    // microsecond tails, so the boundary comparator never sits at
+    // equality on this data.
+    QueryDef(
+      "x155_stream_late_drop",
+      (s, dir) => streamingLateData(s, dir),
+      Some("""WITH b AS (
+             |  SELECT CAST(event_id % 4 AS INT) AS bk, ts, event_type FROM events),
+             |bmax AS (SELECT bk, max(ts) AS mx FROM b GROUP BY 1),
+             |wm AS (SELECT bk,
+             |              max(mx) OVER (ORDER BY bk
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+             |              - INTERVAL 1 HOUR AS w
+             |       FROM bmax),
+             |kept AS (
+             |  SELECT x.event_type, date_trunc('hour', x.ts) AS w_start
+             |  FROM b x JOIN wm ON x.bk = wm.bk
+             |  WHERE wm.w IS NULL
+             |     OR date_trunc('hour', x.ts) + INTERVAL 1 HOUR > wm.w)
+             |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS c
+             |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     QueryDef(
       "x149_stream_fuzzy",
