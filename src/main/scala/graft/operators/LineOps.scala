@@ -103,7 +103,8 @@ object LineOps {
       .orderBy("doc_id")
   }
 
-  private val lineRepetitionSql =
+  /** Public: composed into x156's filter-report oracle. */
+  val lineRepetitionSql: String =
     s"""$linedSql,
        |ex AS (SELECT doc_id, unnest(lines) AS line FROM lined),
        |pl AS (SELECT doc_id, line, count(*) AS c, length(line) AS ln

@@ -418,7 +418,81 @@ object Round6bQueries {
       |SELECT source, CAST(sum(abs(src_per_10k - corpus_per_10k)) AS BIGINT) AS l1_drift
       |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** x156: the MassiveText-style combined filter as an AUDIT TABLE —
+    * per doc, the keep/drop decision with its reason code, reasons
+    * applied in a fixed priority order (what a production corpus filter
+    * actually ships: not just the surviving docs, the accounting for
+    * every dropped one). Composes four already-certified signals — x07
+    * language ID, x08 quality, x139 line repetition, x42 top-bigram
+    * repetition — each one pass over the token stream; the composition
+    * adds three doc_id equi-joins and nothing else.
+    */
+  private def filterReport(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.operators.{LineOps, TextAnalysis}
+    val docs = Tables.documents(s, dir)
+    val lang = TextAnalysis.langId(docs).select("doc_id", "pred_lang")
+    val qual = TextAnalysis.qualityScore(docs).select("doc_id", "quality")
+    val reps = LineOps.lineRepetition(docs)
+      .select(col("doc_id"), col("dup_line_per_10k"), col("dup_char_per_10k"))
+    val toks = col("toks")
+    val bigrams = when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))).otherwise(array())
+    val big = docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "),
+          (w: org.apache.spark.sql.Column) => w =!= "").as("toks"))
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max(col("c")) * 5 > sum(col("c"))).as("big_rep"))
+    docs.select("doc_id")
+      .join(lang, "doc_id").join(qual, "doc_id")
+      .join(reps, "doc_id").join(big, "doc_id")
+      .select(col("doc_id"),
+        when(col("pred_lang") =!= "en", "non_english")
+          .when(col("quality") < 9900, "low_quality")
+          .when(col("dup_line_per_10k") > 3000 ||
+            col("dup_char_per_10k") > 2000, "repetitive_lines")
+          .when(col("big_rep"), "repetitive_ngrams")
+          .otherwise("keep").as("reason"))
+      .orderBy("doc_id")
+  }
+
+  private val filterReportSql = {
+    import graft.operators.{LineOps, TextAnalysis}
+    s"""WITH lang AS (SELECT doc_id, pred_lang FROM (${TextAnalysis.langIdSql}) l),
+       |qual AS (SELECT doc_id, quality FROM (${TextAnalysis.qualityScoreSql}) q),
+       |reps AS (SELECT doc_id, dup_line_per_10k, dup_char_per_10k
+       |         FROM (${LineOps.lineRepetitionSql}) r),
+       |big AS (
+       |  SELECT doc_id, max(c) * 5 > sum(c) AS big_rep FROM (
+       |    SELECT doc_id, bigram, count(*) AS c FROM (
+       |      SELECT doc_id,
+       |             unnest(list_transform(generate_series(1, len(toks) - 1),
+       |                                   j -> toks[j] || ' ' || toks[j + 1])) AS bigram
+       |      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+       |                                       x -> x <> '') AS toks
+       |            FROM documents) t) b
+       |    GROUP BY 1, 2) bc
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CASE WHEN lang.pred_lang <> 'en' THEN 'non_english'
+       |            WHEN qual.quality < 9900 THEN 'low_quality'
+       |            WHEN reps.dup_line_per_10k > 3000
+       |              OR reps.dup_char_per_10k > 2000 THEN 'repetitive_lines'
+       |            WHEN big.big_rep THEN 'repetitive_ngrams'
+       |            ELSE 'keep' END AS reason
+       |FROM documents d
+       |JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+       |JOIN reps USING (doc_id) JOIN big USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("x156_filter_report", filterReport, Some(filterReportSql)),
     QueryDef("x153_source_drift", sourceDrift, Some(sourceDriftSql)),
     QueryDef("x142_funnel", funnel, Some(funnelSql)),
     QueryDef("x144_pagerank", pagerank, Some(pagerankSql)),
