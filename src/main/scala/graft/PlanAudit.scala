@@ -184,6 +184,38 @@ object PlanAudit {
     check("x153_source_drift", "vocabulary broadcast to the per-source grid",
       p => p.contains("BroadcastExchange"))
 
+    // ---- round-7: the two r6-verdict scale sores, now window-free -------
+    check("x151_rfm", "sampled cutpoints broadcast; NO window anywhere",
+      p => p.contains("BroadcastExchange") && !p.contains("Window"))
+    check("x70_vocab_rank", "top-30 via TakeOrdered + join-rank (no global window)",
+      p => p.contains("TakeOrderedAndProject") && !p.contains("Window"))
+
+    // ---- suite-wide gate: no unpartitioned window in ANY declared plan --
+    // A Window/WindowGroupLimit with an empty partition spec funnels every
+    // row through ONE task — the canonical 100×-scale killer (r6 verdict
+    // findings 1/2). Every declared query's OPTIMIZED plan (subqueries
+    // included) is scanned; exceptions must be allowlisted here with the
+    // bounded-frame argument that justifies them.
+    val unpartitionedWindowAllowlist: Map[String, String] = Map.empty
+    var gateScanned = 0
+    var gateHits = 0
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+      val bad = plan.collectWithSubqueries {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w.nodeName
+        case g: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+            if g.partitionSpec.isEmpty => g.nodeName
+      }
+      gateScanned += 1
+      if (bad.nonEmpty && !unpartitionedWindowAllowlist.contains(name)) {
+        failed += 1
+        gateHits += 1
+        println(f"$name%-22s ${"unpartitioned " + bad.distinct.mkString("+")}%-40s MISSING")
+      }
+    }
+    println(f"${"window-gate"}%-22s ${s"$gateScanned plans scanned, $gateHits violations"}%-40s ${if (gateHits == 0) "OK" else "MISSING"}")
+
     // ---- AQE skew-join split on the hot-key fixture ---------------------
     // x135's unsalted SMJ carries half the fact rows on one key. AQE's
     // OptimizeSkewedJoin splits that partition at runtime — but its

@@ -42,11 +42,20 @@ object KMeansLite {
     emb.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
 
-  /** First k vectors by vec_id as the deterministic init centroids. */
-  def initCentroids(vecs: DataFrame, k: Int): DataFrame =
-    vecs.orderBy("vec_id").limit(k)
-      .select((row_number().over(Window.orderBy("vec_id")) - 1).cast("long")
-        .as("cid"), col("v").as("cv"))
+  /** First k vectors by vec_id as the deterministic init centroids.
+    *
+    * cid is the rank among the k survivors, computed WINDOW-FREE (r7
+    * suite gate: no unpartitioned window in any plan): the top-k is a
+    * TakeOrdered, and the rank is a k×k predecessor-count self-join —
+    * k is a constant, so the join is O(k²) rows at any corpus size.
+    */
+  def initCentroids(vecs: DataFrame, k: Int): DataFrame = {
+    val top = vecs.orderBy("vec_id").limit(k)
+    top.as("a").join(top.as("b"), col("b.vec_id") < col("a.vec_id"), "left")
+      .groupBy(col("a.vec_id").as("vid"), col("a.v").as("cv"))
+      .agg(count(col("b.vec_id")).cast("long").as("cid"))
+      .select(col("cid"), col("cv"))
+  }
 
   /** Assignment step: each vector to its nearest centroid (squared L2,
     * ties to the lowest cid).

@@ -295,6 +295,12 @@ object Similarity {
     var cents = KMeansLite.initCentroids(sample, nlist)
     for (_ <- 0 until iters)
       cents = KMeansLite.recompute(KMeansLite.assign(sample, cents))
+    // The trained centroid table (nlist rows) feeds TWO consumers — the
+    // global cell assignment and the probe ranking. Without a cut, the
+    // whole sampled-Lloyd trajectory re-evaluates once per consumer (the
+    // r6 x23 regression: 0.62 s → 1.59 s); localCheckpoint materializes
+    // the nlist-row table once (the x137/x144 multi-consumer fix).
+    cents = cents.localCheckpoint()
 
     // global assignment of EVERY vector to its final cell
     val assigned = KMeansLite.assign(vecs, cents)

@@ -288,31 +288,85 @@ object Round6bQueries {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** x151: RFM segmentation — recency/frequency/monetary quintiles per
-    * user (ntile(5), fully tie-broken so both engines bucket
-    * identically), reported as segment-cell user counts. The global
-    * ntile needs a total order — fine at user-dimension cardinality
-    * (users ≪ events; the window input is ONE row per user after the
-    * aggregate); at true 100 TB user counts the production swap is
-    * approx-quantile cutoffs (x49) joined as bucket bounds, same
-    * output contract.
+    * user, reported as segment-cell user counts. NO global window: the
+    * quintile bounds come from a bounded, md5-deterministic user sample
+    * (target ~256 users; modulus `greatest(1, n div 256)` derived from
+    * the exact user count, so the sample stays ~fixed-size at any n —
+    * at test SFs below 256 users the modulus is 1 and the path is
+    * exact). Cutpoints are exact integer-rank discrete quantiles of the
+    * sample, computed relationally: per-dim value histogram → cumulative
+    * count via a tiny self-join (sample-bounded, ≤ a few hundred
+    * distinct values) → `min v with 5·cum(v) ≥ k·n_s` (the SQL-standard
+    * percentile_disc rule in pure integer arithmetic, so both engines
+    * agree bit-for-bit). The 12 cutpoints broadcast to a map-side
+    * bucket assignment; the only data-sized shuffles are the two hash
+    * aggregates (per-user metrics, segment cells). Monetary is bucketed
+    * in exact floor-cents (DECIMAL path) so no float crosses the gate.
+    * This is the 100 TB-shaped swap the r6 verdict asked for — the old
+    * three unpartitioned ntile(5) windows sorted every user on one
+    * partition, three times. RfmCutpointSpec certifies the sampled
+    * cutpoints against the full-population exact ranks.
     */
-  private def rfm(s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
-    import graft.QueryDef.dsum
-    val w = org.apache.spark.sql.expressions.Window
+  /** Per-user RFM metrics melted to (user_id, dim, v) — all BIGINT
+    * (monetary in exact floor-cents) so one generic cutpoint pipeline
+    * serves all three dimensions. Shared by [[rfm]] and RfmCutpointSpec.
+    */
+  private[graft] def rfmMetricsLong(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val m = Tables.events(s, dir).groupBy("user_id").agg(
       datediff(lit("2024-02-01").cast("date"), to_date(max("ts")))
-        .cast("long").as("recency_days"),
-      count(lit(1)).as("frequency"),
-      dsum(col("value")).as("monetary"))
-    m.select(col("user_id"),
-        ntile(5).over(w.orderBy(col("recency_days"), col("user_id")))
-          .cast("long").as("r_q"),
-        ntile(5).over(w.orderBy(col("frequency").desc, col("user_id")))
-          .cast("long").as("f_q"),
-        ntile(5).over(w.orderBy(col("monetary").desc, col("user_id")))
-          .cast("long").as("m_q"))
-      .groupBy("r_q", "f_q", "m_q").agg(count(lit(1)).as("users"))
+        .cast("long").as("r"),
+      count(lit(1)).as("f"),
+      floor(sum(col("value").cast("decimal(18,6)")) * 100).cast("long").as("mo"))
+    m.select(col("user_id"), explode(array(
+        struct(lit("r").as("dim"), col("r").as("v")),
+        struct(lit("f").as("dim"), col("f").as("v")),
+        struct(lit("m").as("dim"), col("mo").as("v")))).as("dv"))
+      .select(col("user_id"), col("dv.dim").as("dim"), col("dv.v").as("v"))
+  }
+
+  /** Sampled exact-rank quintile cutpoints (dim, k, cut), k = 1..4.
+    * Sample: md5-derived integer hash mod `greatest(1, n div 256)` — a
+    * ~256-user deterministic sample at any scale. Cutpoint: the
+    * SQL-standard percentile_disc rule `min v with 5·cum(v) ≥ k·n_s` in
+    * pure integer arithmetic over a sample-bounded histogram self-join.
+    */
+  private[graft] def rfmCutpoints(s: org.apache.spark.sql.SparkSession,
+      longDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sMod = longDf.filter(col("dim") === "r")
+      .agg(count(lit(1)).as("n"))
+      .select(greatest(lit(1L), expr("n div 256")).as("s"))
+    val h = conv(substring(md5(col("user_id").cast("string").cast("binary")),
+      1, 8), 16, 10).cast("long")
+    val samp = longDf.crossJoin(broadcast(sMod)).filter(h % col("s") === 0)
+    val ns = samp.groupBy("dim").agg(count(lit(1)).as("ns"))
+    val hist = samp.groupBy("dim", "v").agg(count(lit(1)).as("c"))
+    val cum = hist.as("a").join(hist.as("b"),
+        col("a.dim") === col("b.dim") && col("b.v") <= col("a.v"))
+      .groupBy(col("a.dim").as("dim"), col("a.v").as("v"))
+      .agg(sum(col("b.c")).as("cum"))
+    val ks = s.range(1, 5).select(col("id").as("k"))
+    cum.join(ns, "dim").crossJoin(broadcast(ks))
+      .filter(col("cum") * 5 >= col("k") * col("ns"))
+      .groupBy("dim", "k").agg(min("v").as("cut"))
+  }
+
+  private def rfm(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val longDf = rfmMetricsLong(s, dir)
+    val cuts = rfmCutpoints(s, longDf)
+    // Map-side quintile assignment: r ascending (1 = most recent),
+    // f/m descending (1 = highest) — same orientation as the old ntile.
+    val bq = longDf.join(broadcast(cuts), Seq("dim"), "left")
+      .groupBy("user_id").agg(
+        (lit(1) + sum(when(col("dim") === "r" && col("v") > col("cut"), 1)
+          .otherwise(0))).cast("long").as("r_q"),
+        (lit(1) + sum(when(col("dim") === "f" && col("v") < col("cut"), 1)
+          .otherwise(0))).cast("long").as("f_q"),
+        (lit(1) + sum(when(col("dim") === "m" && col("v") < col("cut"), 1)
+          .otherwise(0))).cast("long").as("m_q"))
+    bq.groupBy("r_q", "f_q", "m_q").agg(count(lit(1)).as("users"))
       .orderBy("r_q", "f_q", "m_q")
   }
 
@@ -320,18 +374,38 @@ object Round6bQueries {
     """WITH m AS (
       |  SELECT user_id,
       |         CAST(date_diff('day', CAST(date_trunc('day', max(ts)) AS DATE),
-      |                        DATE '2024-02-01') AS BIGINT) AS recency_days,
-      |         CAST(count(*) AS BIGINT) AS frequency,
-      |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+      |                        DATE '2024-02-01') AS BIGINT) AS r,
+      |         CAST(count(*) AS BIGINT) AS f,
+      |         CAST(floor(sum(CAST(value AS DECIMAL(18,6))) * 100) AS BIGINT) AS mo
       |  FROM events GROUP BY 1),
-      |b AS (
-      |  SELECT user_id,
-      |         CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_q,
-      |         CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_q,
-      |         CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_q
-      |  FROM m)
+      |lg AS (
+      |  SELECT user_id, 'r' AS dim, r AS v FROM m
+      |  UNION ALL SELECT user_id, 'f', f FROM m
+      |  UNION ALL SELECT user_id, 'm', mo FROM m),
+      |sm AS (SELECT greatest(1, count(*) // 256) AS s FROM m),
+      |samp AS (SELECT lg.* FROM lg, sm
+      |         WHERE CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+      |               % sm.s = 0),
+      |ns AS (SELECT dim, CAST(count(*) AS BIGINT) AS ns FROM samp GROUP BY 1),
+      |hist AS (SELECT dim, v, CAST(count(*) AS BIGINT) AS c FROM samp GROUP BY 1, 2),
+      |cum AS (SELECT a.dim, a.v, CAST(sum(b.c) AS BIGINT) AS cum
+      |        FROM hist a JOIN hist b ON a.dim = b.dim AND b.v <= a.v
+      |        GROUP BY 1, 2),
+      |ks AS (SELECT * FROM (VALUES (1), (2), (3), (4)) t(k)),
+      |cuts AS (SELECT c.dim, k.k, min(c.v) AS cut
+      |         FROM cum c JOIN ns USING (dim) CROSS JOIN ks k
+      |         WHERE c.cum * 5 >= k.k * ns.ns GROUP BY 1, 2),
+      |bq AS (SELECT l.user_id,
+      |              CAST(1 + sum(CASE WHEN l.dim = 'r' AND l.v > c.cut
+      |                           THEN 1 ELSE 0 END) AS BIGINT) AS r_q,
+      |              CAST(1 + sum(CASE WHEN l.dim = 'f' AND l.v < c.cut
+      |                           THEN 1 ELSE 0 END) AS BIGINT) AS f_q,
+      |              CAST(1 + sum(CASE WHEN l.dim = 'm' AND l.v < c.cut
+      |                           THEN 1 ELSE 0 END) AS BIGINT) AS m_q
+      |       FROM lg l LEFT JOIN cuts c ON l.dim = c.dim
+      |       GROUP BY 1)
       |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS users
-      |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+      |FROM bq GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   /** x152: triangle count on the co-purchase graph via EDGE ORIENTATION —
     * edges kept only as (u < v), so each triangle is generated exactly
