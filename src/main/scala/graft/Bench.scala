@@ -51,11 +51,14 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     def ms(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // Per-query: centisecond precision and zero-stripped ids ("q1",
-    // "x5", "x116" — the driver contract's own example key style) keep
-    // ~150 queries inside the tail window without eliding anything.
+    // Per-query: DECIsecond precision and zero-stripped ids ("q1",
+    // "x5", "x116" — the driver contract's own example key style). r6's
+    // centisecond encoding overflowed the driver's 2000-char stdout tail
+    // at 176 queries and elided 20; one decimal (~10.5 B/query) keeps all
+    // ~178 queries visible in the official record (r6 verdict task 9 —
+    // full 3-decimal precision is always in target/bench.json).
     def cs(v: Double): String = BigDecimal(v)
-      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     def sid(k: String): String = {
       val id = k.takeWhile(_ != '_')
       val digits = id.tail.dropWhile(_ == '0')
@@ -89,14 +92,19 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap // last wins
       }.getOrElse(Map.empty)
     }
+    // x137 is pinned: its r6 in-suite time (28.1 s) was 4x its isolated
+    // time and the verdict asked for the gap to be pinned down IN the
+    // official record each round, not presumed co-tenancy.
+    val pinnedIsolated = Set("x137_incremental_dedup")
     val isolated: Seq[(String, Double)] =
       if (only.nonEmpty) Seq.empty // isolation experiments: skip adjudication
       else results.flatMap { case (n, v) =>
-        priorTimes.get(sid(n)) match {
-          case Some(p) if p >= 0.05 && v > 1.5 * p && v - p > 0.1 =>
-            Some(n -> math.min(run(n), run(n)))
-          case _ => None
+        val drifted = priorTimes.get(sid(n)) match {
+          case Some(p) => p >= 0.05 && v > 1.5 * p && v - p > 0.1
+          case None => false
         }
+        if (drifted || pinnedIsolated(n)) Some(n -> math.min(run(n), run(n)))
+        else None
       }
 
     // The driver tail-captures only the LAST 2000 chars of stdout
@@ -124,7 +132,10 @@ object Bench {
         if (isolated.isEmpty) ""
         else isolated.map { case (k, v) => "\"" + sid(k) + "\":" + cs(v) }
           .mkString(""","isolated":{""", ",", "}")
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec"$note$iso,"queries":$qs,"sf":"$sfDir"}"""
+      // sf shortened to its basename ("sf0.1") — the full path cost 18
+      // tail chars for zero information.
+      val sfShort = new java.io.File(sfDir).getName
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec"$note$iso,"queries":$qs,"sf":"$sfShort"}"""
     }
     // Keep the stdout line under ~1.9 KB no matter how the suite grows
     // (sbt's trailing "[success]" line eats ~100 B of the driver's 2 KB
@@ -146,7 +157,10 @@ object Bench {
         }
         line
       }
-    println(compact)
+    // Printed ONCE, after stop: the driver keeps only the LAST 2000 stdout
+    // chars, and r6's belt-and-braces double print cost the tail window a
+    // full copy of the line — the single post-stop print leaves room for
+    // the whole 178-query map plus sbt's trailing [success] line.
     spark.stop()
     println(compact)
   }

@@ -570,8 +570,11 @@ object Dedup {
     while (!converged) {
       // One aggregation carries both the new label (min over self +
       // neighborhood) and the previous label (min over the self rows
-      // only), so convergence is a cheap filter on the checkpointed
-      // result instead of a second join per round.
+      // only). The changed-label count rides the SAME job as the
+      // checkpoint materialization via Dataset.observe — zero extra
+      // driver probes per round (r6 verdict #4: the old 1-row filter
+      // probe serialized under bench co-tenancy).
+      val obs = org.apache.spark.sql.Observation()
       val neigh = edges.join(labels, edges("b") === labels("node"))
         .select(edges("a").as("node"), col("lbl"), lit(false).as("self"))
       val updated = labels.withColumn("self", lit(true))
@@ -579,8 +582,10 @@ object Dedup {
         .groupBy("node")
         .agg(min("lbl").as("lbl"),
           min(when(col("self"), col("lbl"))).as("prev"))
+        .observe(obs, coalesce(sum(when(col("lbl") =!= col("prev"), 1L)
+          .otherwise(0L)), lit(0L)).as("changed"))
         .localCheckpoint()
-      converged = updated.filter(col("lbl") =!= col("prev")).isEmpty
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = updated.select("node", "lbl")
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))

@@ -59,17 +59,23 @@ object KMeansLite {
 
   /** Assignment step: each vector to its nearest centroid (squared L2,
     * ties to the lowest cid).
+    *
+    * The argmin is a `min(struct(d2, cid, v))` hash aggregate, not a
+    * row_number window: struct ordering is lexicographic, so the minimum
+    * is exactly (smallest d2, ties to lowest cid) and v rides along.
+    * Unlike the window (shuffle + per-key SORT of n·k rows), the
+    * aggregate partial-combines map-side — each map task ships ONE row
+    * per vec_id regardless of k, the shape that survives 100 TB.
     */
   def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val d2 = dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv")) +
       dot(col("cv"), col("cv"))
-    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
     vecs.crossJoin(broadcast(cents))
       .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cid", "v")
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"), col("v"))).as("mn"))
+      .select(col("vec_id"), col("mn.cid").as("cid"), col("mn.v").as("v"))
   }
 
   /** Recompute step: elementwise mean per cluster, summed exactly in
