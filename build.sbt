@@ -28,3 +28,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// RetryExactlyOnceSpec needs its own SparkContext with task retries on
+// (master local[4,2]); a JVM holds one context, so it gets its own forked
+// JVM while every other suite shares one (and one local[8] session).
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  val forkOpts = ForkOptions().withRunJVMOptions(opts)
+  val (retry, rest) = (Test / definedTests).value
+    .partition(_.name.endsWith("RetryExactlyOnceSpec"))
+  Seq(Tests.Group("retry", retry, Tests.SubProcess(forkOpts)),
+    Tests.Group("main", rest, Tests.SubProcess(forkOpts)))
+    .filter(_.tests.nonEmpty)
+}

@@ -106,19 +106,30 @@ case class BoundedLevenshtein(first: Expression, second: Expression,
 /** Rewrite `levenshtein(a,b) <op> k` (literal k) into the bounded kernel. */
 object RewriteLevenshteinBound extends Rule[LogicalPlan] {
 
+  // Every k < 0 is equivalent (lev >= 0, so the test is vacuously false on
+  // non-null inputs): clamp to -1 rather than folding to Literal(false),
+  // because the rule fires in arbitrary user plans (GraftExtensions injects
+  // it globally) where a fold would turn NULL inputs into false. The
+  // null-intolerant ternary keeps `levenshtein(NULL, b) <= k` ⇒ NULL.
   private def bounded(l: Expression, r: Expression, k: Int): Expression =
-    if (k < 0) Literal(false)
-    else BoundedLevenshtein(l, r, Literal(k))
+    BoundedLevenshtein(l, r, Literal(math.max(k, -1)))
+
+  // Strict forms: `lev < k` ≡ `lev <= k-1`, but guard before decrementing —
+  // `k - 1` at k = Int.MinValue wraps to Int.MaxValue and an always-false
+  // predicate would become effectively always-true. k <= 0 strict is
+  // vacuously false (lev >= 0), i.e. the clamped -1 kernel.
+  private def strict(l: Expression, r: Expression, k: Int): Expression =
+    bounded(l, r, if (k <= 0) -1 else k - 1)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case LessThanOrEqual(Levenshtein(l, r, None), Literal(k: Int, IntegerType)) =>
         bounded(l, r, k)
       case LessThan(Levenshtein(l, r, None), Literal(k: Int, IntegerType)) =>
-        bounded(l, r, k - 1)
+        strict(l, r, k)
       case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(l, r, None)) =>
         bounded(l, r, k)
       case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(l, r, None)) =>
-        bounded(l, r, k - 1)
+        strict(l, r, k)
     }
 }

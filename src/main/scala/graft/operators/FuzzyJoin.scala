@@ -50,10 +50,15 @@ object FuzzyJoin {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.functions.RewriteLevenshteinBound
+    // The deletion positions guard on length > 0: Spark's `sequence(1, 0)`
+    // is DESCENDING ([1, 0]), so an empty string would otherwise emit two
+    // phantom deletion keys (masked today only by the downstream distinct).
     def withKeys(df: DataFrame, s: String): DataFrame =
       df.selectExpr(df.columns :+
-        (s"explode(concat(array($s), transform(sequence(1, length($s)), " +
-          s"i -> concat(left($s, i - 1), substring($s, i + 1))))) AS k"): _*)
+        (s"explode(concat(array($s), if(length($s) > 0, " +
+          s"transform(sequence(1, length($s)), " +
+          s"i -> concat(left($s, i - 1), substring($s, i + 1))), " +
+          s"array()))) AS k"): _*)
     val cand = withKeys(queries, "q")
       .join(withKeys(corpus, "title"), "k")
       .select("q_id", "doc_id", "q", "title").distinct()

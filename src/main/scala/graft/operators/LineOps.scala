@@ -52,8 +52,15 @@ object LineOps {
     val emptyArr = array().cast("array<string>")
     withToks.select(col("doc_id"), col("source"),
       concat(
-        transform(sequence(lit(0), nl - 1),
-          i => array_join(slice(col("toks"), i * 12 + 1, lit(12)), " ")),
+        // Guard on size > 0: Spark's `sequence(0, -1)` is DESCENDING
+        // ([0, -1]), so an empty/whitespace-only doc would emit two phantom
+        // empty "lines" here while DuckDB's generate_series(0, -1) emits
+        // none — a latent oracle divergence if the fixture ever contains
+        // one.
+        when(size(col("toks")) > 0,
+          transform(sequence(lit(0), nl - 1),
+            i => array_join(slice(col("toks"), i * 12 + 1, lit(12)), " ")))
+          .otherwise(emptyArr),
         when(pmod(col("doc_id"), lit(4)) === 0, array(lit(boiler)))
           .otherwise(emptyArr),
         when(pmod(col("doc_id"), lit(6)) === 0, array(firstLine))

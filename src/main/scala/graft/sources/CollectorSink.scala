@@ -50,7 +50,11 @@ class CollectorSink extends TableProvider {
       properties: util.Map[String, String]): Table =
     new CollectorTable(schema,
       Option(properties.get("name")).getOrElse("default"),
-      Option(properties.get("failrow")).map(_.toLong))
+      Option(properties.get("failrow")).map(_.toLong),
+      // failoncerow: fail the matching row on task ATTEMPT 0 only — the
+      // retry-level exactly-once fixture (needs task retries enabled,
+      // i.e. master local[N,F>1]; see RetryExactlyOnceSpec).
+      Option(properties.get("failoncerow")).map(_.toLong))
 }
 
 object CollectorSink {
@@ -66,24 +70,28 @@ object CollectorSink {
   def publish(name: String, r: Result): Unit = registry.put(name, r)
   def clear(name: String): Unit = registry.remove(name)
 
-  /** Signed hash of one row: fields rendered to strings and joined with
-    * an unprintable separator; `String.hashCode` is fixed by the JLS, so
-    * the value is engine-run deterministic.
+  /** Content-based per-row hasher: Catalyst's `XxHash64` over bound
+    * references to every column. Unlike a toString render (which is
+    * identity-based, not content-based, for UnsafeArrayData / UnsafeRow /
+    * MapData), XxHash64 recurses into arrays, structs and maps by VALUE,
+    * so the advertised order/partitioning-independent checksum holds for
+    * nested schemas too. Deterministic across JVMs (fixed seed, fixed
+    * algorithm) -- the same engine-run determinism the old JLS
+    * String.hashCode render gave, without the nested-type hole.
     */
-  def rowHash(row: InternalRow, schema: StructType): Long = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < schema.length) {
-      if (i > 0) sb.append('\u0001')
-      sb.append(String.valueOf(row.get(i, schema(i).dataType)))
-      i += 1
+  def rowHasher(schema: StructType): InternalRow => Long = {
+    val refs = schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        i, f.dataType, f.nullable)
     }
-    sb.toString.hashCode.toLong
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(refs, 42L)
+    row => h.eval(row).asInstanceOf[Long]
   }
 }
 
 private class CollectorTable(schema0: StructType, name0: String,
-    failRow: Option[Long]) extends Table with SupportsWrite {
+    failRow: Option[Long], failOnceRow: Option[Long])
+    extends Table with SupportsWrite {
   override def name(): String = s"graft_collector($name0)"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
@@ -93,16 +101,17 @@ private class CollectorTable(schema0: StructType, name0: String,
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new CollectorBatchWrite(info.schema(), name0, failRow)
+          new CollectorBatchWrite(info.schema(), name0, failRow, failOnceRow)
       }
     }
 }
 
 private class CollectorBatchWrite(schema: StructType, name: String,
-    failRow: Option[Long]) extends BatchWrite {
+    failRow: Option[Long], failOnceRow: Option[Long]) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = new CollectorWriterFactory(schema, failRow)
+      : DataWriterFactory =
+    new CollectorWriterFactory(schema, failRow, failOnceRow)
 
   /** Atomic publish — runs once, only if EVERY task committed. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -119,21 +128,33 @@ private final case class CollectorCommit(partitionId: Int, rows: Long,
     checksum: Long) extends WriterCommitMessage
 
 private class CollectorWriterFactory(schema: StructType,
-    failRow: Option[Long]) extends DataWriterFactory {
+    failRow: Option[Long], failOnceRow: Option[Long])
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private var rows = 0L
       private var checksum = 0L
+      private val hash = CollectorSink.rowHasher(schema)
+      private def keyMatches(row: InternalRow, k: Long): Boolean =
+        schema.nonEmpty &&
+          schema.head.dataType == org.apache.spark.sql.types.LongType &&
+          row.getLong(0) == k
       override def write(row: InternalRow): Unit = {
         // Deterministic fault injection for the abort-path spec: dying
         // MID-TASK proves partial task state never becomes visible.
-        if (failRow.isDefined && schema.nonEmpty &&
-            schema.head.dataType == org.apache.spark.sql.types.LongType &&
-            row.getLong(0) == failRow.get)
+        if (failRow.isDefined && keyMatches(row, failRow.get))
           throw new RuntimeException(s"injected failure at row ${failRow.get}")
+        // Retry fixture: same death, but only on the FIRST attempt — the
+        // re-attempt sails through, and exactly one attempt's counts may
+        // reach the driver commit.
+        if (failOnceRow.isDefined && keyMatches(row, failOnceRow.get) &&
+            org.apache.spark.TaskContext.get() != null &&
+            org.apache.spark.TaskContext.get().attemptNumber() == 0)
+          throw new RuntimeException(
+            s"injected first-attempt failure at row ${failOnceRow.get}")
         rows += 1
-        checksum += CollectorSink.rowHash(row, schema)
+        checksum += hash(row)
       }
       override def commit(): WriterCommitMessage = {
         val id = org.apache.spark.TaskContext.get() match {

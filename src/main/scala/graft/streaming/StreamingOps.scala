@@ -708,8 +708,12 @@ object StreamingOps {
         .selectExpr("doc_id",
           "array_join(slice(filter(split(text, ' '), w -> w != ''), 1, 7), ' ') AS title")
         .selectExpr("doc_id", "title",
-          "explode(concat(array(title), transform(sequence(1, length(title)), " +
-            "i -> concat(left(title, i - 1), substring(title, i + 1))))) AS k")
+          // length-0 guard mirrors FuzzyJoin.withKeys: sequence(1, 0) is
+          // DESCENDING in Spark, so an empty title would emit phantom keys.
+          "explode(concat(array(title), if(length(title) > 0, " +
+            "transform(sequence(1, length(title)), " +
+            "i -> concat(left(title, i - 1), substring(title, i + 1))), " +
+            "array()))) AS k")
       val pairs = titled.as[(Long, String, String)]
         .groupByKey(_._3)
         .flatMapGroupsWithState[Seq[(Long, String)], (Long, Long)](
@@ -872,7 +876,12 @@ object StreamingOps {
   def streamingDlq(spark: SparkSession, dir: String): DataFrame =
     withShufflePartitions(spark, 8) {
       import java.nio.file.{Files, Paths}
-      val base = Paths.get(sys.props("java.io.tmpdir"), "graft_x154_dlq")
+      // Sink paths keyed by input dir (the stagedDocsStream stageKey idiom):
+      // concurrent runs at different scale factors must not share — and so
+      // corrupt — each other's append sinks.
+      val stageKey = java.lang.Long.toHexString(
+        java.util.Objects.hash("dlq", dir).toLong & 0xffffffffL)
+      val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_x154_dlq_$stageKey")
       def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
         import scala.jdk.CollectionConverters._
         val s = Files.walk(p)
@@ -881,6 +890,10 @@ object StreamingOps {
       val vDir = base.resolve("valid")
       val dDir = base.resolve("dlq")
       rm(vDir); rm(dDir) // bench may invoke twice: appends must start clean
+      // Pre-create both sinks: a fixture with zero quarantined (or zero
+      // valid) rows would otherwise leave a path nonexistent and fail the
+      // read-back below.
+      Files.createDirectories(vDir); Files.createDirectories(dDir)
       val mangled = when(pmod(col("event_id"), lit(7)) === 0,
         col("props").substr(lit(1), (length(col("props")) / 2).cast("int")))
         .otherwise(col("props"))
@@ -901,9 +914,19 @@ object StreamingOps {
         .start()
       q.processAllAvailable()
       q.stop()
-      val valid = spark.read.parquet(vDir.toString)
+      // Declared read-back schema: an all-clean (or all-corrupt) drain
+      // leaves one sink as an empty directory, which schema inference
+      // cannot read.
+      val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))))
+      val valid = spark.read.schema(sinkSchema).parquet(vDir.toString)
         .select(col("event_type"), col("p.k").as("k"))
-      val dlq = spark.read.parquet(dDir.toString)
+      val dlq = spark.read.schema(sinkSchema).parquet(dDir.toString)
         .select(col("event_type"), lit(null).cast("long").as("k"))
       valid.unionByName(dlq)
         .groupBy("event_type")
@@ -928,6 +951,13 @@ object StreamingOps {
       (s, dir) => streamingDlq(s, dir),
       Some(x131Oracle)),
 
+    // ENGINE-VERSION-PINNED (Spark 4.1.2): the '2 PRECEDING' lag below is
+    // a measured property of this engine's trigger pipeline, not a
+    // documented contract — an upgrade that tightens watermark propagation
+    // to the usual one-batch lag breaks this hash gate at every SF. On
+    // upgrade, RE-DERIVE the lag constant (rerun the ScratchWm probe)
+    // rather than debugging the query.
+    //
     // Watermark late-drop boundary as a pure function of the data. Two
     // facts MEASURED before this oracle was written (ScratchWm probe,
     // stable across runs): (1) the watermark APPLIED to batch k's input
