@@ -148,7 +148,8 @@ object LineOps {
       .orderBy("doc_id")
   }
 
-  private val boilerplateRemovalSql =
+  /** Public: shared by x157 (streaming twin, single-batch drain). */
+  val boilerplateRemovalSql: String =
     s"""$linedSql,
        |ex AS (SELECT doc_id, generate_subscripts(lines, 1) AS pos,
        |              unnest(lines) AS line FROM lined),
