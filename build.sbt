@@ -31,12 +31,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // RetryExactlyOnceSpec needs its own SparkContext with task retries on
 // (master local[4,2]); a JVM holds one context, so it gets its own forked
 // JVM while every other suite shares one (and one local[8] session).
+// PlanAuditSpec likewise: the audit's extensions check stops the session
+// and rebuilds one with spark.sql.extensions set.
 Test / testGrouping := {
   val opts = (Test / javaOptions).value.toVector
   val forkOpts = ForkOptions().withRunJVMOptions(opts)
-  val (retry, rest) = (Test / definedTests).value
-    .partition(_.name.endsWith("RetryExactlyOnceSpec"))
+  val all = (Test / definedTests).value
+  val retry = all.filter(_.name.endsWith("RetryExactlyOnceSpec"))
+  val audit = all.filter(_.name.endsWith("PlanAuditSpec"))
+  val rest = all.filterNot(t => retry.contains(t) || audit.contains(t))
   Seq(Tests.Group("retry", retry, Tests.SubProcess(forkOpts)),
+    Tests.Group("planaudit", audit, Tests.SubProcess(forkOpts)),
     Tests.Group("main", rest, Tests.SubProcess(forkOpts)))
     .filter(_.tests.nonEmpty)
 }

@@ -125,11 +125,12 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoFull,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    def shortLine(rs: Seq[(String, Double)], note: String): String = {
+    def shortLine(rs: Seq[(String, Double)], note: String,
+        withIso: Boolean): String = {
       val qs = rs.map { case (k, v) => "\"" + sid(k) + "\":" + cs(v) }
         .mkString("{", ",", "}")
       val iso =
-        if (isolated.isEmpty) ""
+        if (!withIso || isolated.isEmpty) ""
         else isolated.map { case (k, v) => "\"" + sid(k) + "\":" + cs(v) }
           .mkString(""","isolated":{""", ",", "}")
       // sf shortened to its basename ("sf0.1") — the full path cost 18
@@ -139,21 +140,24 @@ object Bench {
     }
     // Keep the stdout line under ~1.9 KB no matter how the suite grows
     // (sbt's trailing "[success]" line eats ~100 B of the driver's 2 KB
-    // tail): if the full map would overflow, emit only the slowest
-    // queries that fit and say how many were elided (full precision is
-    // always in target/bench.json). keep may drop all the way to 1 — a
+    // tail). Priority order (r7 lesson — the isolated map crowded out 30
+    // per-query times from the official record): (1) complete queries map
+    // + isolated map; (2) complete queries map, isolated only in
+    // target/bench.json; (3) slowest-that-fit with an elided count — a
     // truncated-but-parseable line beats an overflowing complete one.
-    val fullLine = shortLine(results, "")
+    val withIsoLine = shortLine(results, "", withIso = true)
+    val noIsoLine = shortLine(results, "", withIso = false)
     val compact =
-      if (fullLine.length <= 1900) fullLine
+      if (withIsoLine.length <= 1900) withIsoLine
+      else if (noIsoLine.length <= 1900) noIsoLine
       else {
         val bySlow = results.sortBy(-_._2)
         var keep = bySlow.length
-        var line = fullLine
+        var line = noIsoLine
         while (line.length > 1900 && keep > 1) {
           keep = math.max(1, keep - 10)
           line = shortLine(bySlow.take(keep).sortBy(_._1),
-            s""","elided":${results.length - keep}""")
+            s""","elided":${results.length - keep}""", withIso = false)
         }
         line
       }

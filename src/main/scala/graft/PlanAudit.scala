@@ -10,8 +10,17 @@ package graft
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = Sessions.local(8)
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    if (audit(Sessions.local(8), dir) > 0) sys.exit(1)
+  }
+
+  /** Runs every plan check, returns the failure count. Also callable from
+    * `PlanAuditSpec` so a failing plan check fails `sbt test`, not only
+    * the standalone per-round run. NOTE: stops the passed session (the
+    * extensions check needs a fresh one) — callers run it last, in a
+    * dedicated JVM (see `Test / testGrouping` in build.sbt).
+    */
+  def audit(spark: org.apache.spark.sql.SparkSession, dir: String): Int = {
     var failed = 0
 
     def finalPlan(name: String): String = {
@@ -284,6 +293,6 @@ object PlanAudit {
     ext.stop()
 
     println(if (failed == 0) "ALL PLAN CHECKS OK" else s"$failed CHECKS FAILED")
-    if (failed > 0) sys.exit(1)
+    failed
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated star schema (TESTDATA.md).
   *
@@ -22,22 +22,39 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's schema
-    * inference rejects outright. Reading with an explicit schema (ts as
-    * LongType = raw nanos) sidesteps inference entirely, so this loader
-    * works on ANY session — including ones created without
-    * `spark.sql.legacy.parquet.nanosAsLong` (e.g. the driver's own).
-    * `DIV` (integer division) is required for the conversion: nanos ~1.7e18
-    * exceed double's 2^53 exact range, so `/ 1000` would corrupt low bits.
-    * TIMESTAMP_NTZ matches DuckDB's naive reading of the same column.
+  /** `events.ts` has shipped in two parquet encodings across fixture
+    * generations: standard TIMESTAMP(MICROS) (current), and TIMESTAMP(NANOS)
+    * (legacy), which Spark's schema inference rejects outright unless
+    * `spark.sql.legacy.parquet.nanosAsLong` is set. Rather than assume a
+    * unit — assuming nanos against a micros file silently shrinks every
+    * timestamp 1000× — probe the footer via schema inference:
+    *   - inference succeeds with a timestamp type → read normally, cast to
+    *     TIMESTAMP_NTZ (matches DuckDB's naive reading of isAdjustedToUTC=false);
+    *   - inference fails (nanos file) → fall back to an explicit LongType
+    *     schema and convert raw nanos with `DIV 1000` (integer division:
+    *     nanos ~1.7e18 exceed double's 2^53 exact range, so `/ 1000` would
+    *     corrupt low bits).
+    * The probe reads only the parquet footer (no data scan), so its cost is
+    * negligible even at cluster scale. `FixtureSchemaSpec` guards this
+    * loader against future fixture regenerations by comparing Spark's
+    * min/max(ts) to the parquet footer statistics.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.read.schema(raw).parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    val path = s"$dir/events.parquet"
+    val inferred = scala.util.Try(spark.read.parquet(path).schema("ts").dataType)
+    inferred match {
+      case scala.util.Success(TimestampNTZType) =>
+        spark.read.parquet(path)
+      case scala.util.Success(TimestampType) =>
+        spark.read.parquet(path).withColumn("ts", expr("CAST(ts AS TIMESTAMP_NTZ)"))
+      case _ =>
+        val raw = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType)))
+        spark.read.schema(raw).parquet(path)
+          .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -322,21 +322,25 @@ object Dedup {
     simhashFingerprintsFromUnits(TextOps.tokens(docs))
 
   /** Character n-gram units (doc_id, w): every `n`-char sliding window of
-    * the raw text. The tokenization-robust feature source production
+    * the lowercased text. The tokenization-robust feature source production
     * near-dup pipelines use when whitespace/token boundaries are noisy
     * (CJK, code, boilerplate with drifting punctuation): two texts that
     * differ only in tokenization share almost all char-grams but few word
-    * tokens. Texts shorter than `n` chars yield zero units (the
-    * sequence-descending guard — Spark's `sequence(1, 0)` is [1, 0], not
-    * empty).
+    * tokens. Lowercasing matches the word-token path (TextOps.tokens), so
+    * the variant tolerates case drift — the same class of superficial
+    * difference it exists to absorb. Texts shorter than `n` chars yield
+    * zero units (the sequence-descending guard — Spark's `sequence(1, 0)`
+    * is [1, 0], not empty).
     */
-  def charGramUnits(docs: DataFrame, n: Int = 4): DataFrame =
+  def charGramUnits(docs: DataFrame, n: Int = 4): DataFrame = {
+    val t = lower(col("text"))
     docs.select(col("doc_id"),
       explode(
-        when(length(col("text")) >= n,
-          transform(sequence(lit(1), length(col("text")) - (n - 1)),
-            i => col("text").substr(i, lit(n))))
+        when(length(t) >= n,
+          transform(sequence(lit(1), length(t) - (n - 1)),
+            i => t.substr(i, lit(n))))
           .otherwise(array().cast("array<string>"))).as("w"))
+  }
 
   /** SimHash fold over arbitrary (doc_id, w) unit rows — shared by the
     * word-token (x04) and char-gram (x158) fingerprint paths.
@@ -575,13 +579,20 @@ object Dedup {
     val (n, d) = emb.agg(count(lit(1)), max(size(col("embedding"))))
       .as[(Long, Int)].head()
     val bytes = n * d * 8L
-    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    // The conf accepts both size strings ("10MB") and plain byte counts
-    // incl. the -1 disable sentinel, which byteStringAsBytes rejects.
-    val limit = raw.toLongOption.getOrElse(
-      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+    val limit = broadcastLimitBytes(spark)
     if (limit > 0 && bytes <= limit) embeddingNearDupPairs(emb, threshold)
     else embeddingNearDupPairsDist(emb, threshold)
+  }
+
+  /** `spark.sql.autoBroadcastJoinThreshold` in bytes — the bar every
+    * "collect/broadcast one side" decision in this library is gated on.
+    * The conf accepts both size strings ("10MB") and plain byte counts
+    * incl. the -1 disable sentinel, which byteStringAsBytes rejects.
+    */
+  private[graft] def broadcastLimitBytes(spark: org.apache.spark.sql.SparkSession): Long = {
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    raw.toLongOption.getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
   }
 
   /** Connected components over the near-dup pair graph — the cluster step

@@ -128,8 +128,15 @@ object LineOps {
     * DISTINCT docs corpus-wide is boilerplate; rebuild every doc from its
     * surviving lines in original order.
     */
-  def boilerplateRemoval(docs: DataFrame): DataFrame = {
-    val lined = linedDocs(docs)
+  def boilerplateRemoval(docs: DataFrame): DataFrame =
+    boilerplateRemovalFromLined(linedDocs(docs))
+
+  /** The removal tail over an already-lined corpus (doc_id, lines) —
+    * shared by the batch path ([[boilerplateRemoval]]) and x157's
+    * streaming twin, whose drained line store feeds the exact same
+    * relational tail so the two provably share one oracle.
+    */
+  def boilerplateRemovalFromLined(lined: DataFrame): DataFrame = {
     val ex = lined.select(col("doc_id"),
       posexplode(col("lines")).as(Seq("pos", "line")))
     val freq = ex.groupBy("line")
@@ -148,7 +155,10 @@ object LineOps {
       .orderBy("doc_id")
   }
 
-  /** Public: shared by x157 (streaming twin, single-batch drain). */
+  /** Public: the x140 oracle, shared verbatim by x157's streaming twin
+    * (StreamingOps.streamingBoilerplate) — the hash gate proves the
+    * drained incremental line store reduces to the batch removal.
+    */
   val boilerplateRemovalSql: String =
     s"""$linedSql,
        |ex AS (SELECT doc_id, generate_subscripts(lines, 1) AS pos,

@@ -424,11 +424,21 @@ object Round6bQueries {
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
       .localCheckpoint()
     // The wedge set (e1⋈e2) is the big intermediate — ~Σ in(v)·out(v)
-    // rows. BROADCAST the closing-edge probe so wedges never shuffle:
-    // the edge list is two longs per row (MBs even at millions of
-    // edges), the wedge exchange would be GBs. 14.1 s → 7.4 s at sf0.1.
+    // rows. When the edge list fits the broadcast bar, BROADCAST the
+    // closing-edge probe so wedges never shuffle (14.1 s → 7.4 s at
+    // sf0.1: two longs per row, MBs). But an unconditional broadcast is
+    // a scale-killer — ~10⁸ edges at 100× is GBs shipped to every
+    // executor — so gate on measured edge bytes vs
+    // autoBroadcastJoinThreshold (the x05 switch): past the bar, the
+    // closing probe becomes a plain shuffle join on (u, v), which AQE
+    // plans as a hash join co-partitioned with the wedge output. Count
+    // is cheap: `e` is localCheckpointed, so it scans materialized
+    // blocks, not the self-join lineage. Both branches share the oracle.
+    val edgeBytes = e.count() * 16L
+    val limit = graft.operators.Dedup.broadcastLimitBytes(s)
+    val e3 = if (limit > 0 && edgeBytes <= limit) broadcast(e.as("e3")) else e.as("e3")
     e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
-      .join(broadcast(e.as("e3")),
+      .join(e3,
         col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
       .agg(count(lit(1)).as("triangles"),
         countDistinct(col("e1.u")).as("apex_nodes"))

@@ -37,9 +37,11 @@ object StreamingOps {
     * hashCode collision between dataset paths) gets a fresh staging dir
     * instead of silently replaying stale data against a fresh batch twin.
     * Write goes to a temp dir then an atomic rename, so a concurrent
-    * stager can never expose a half-written directory. Schema is explicit
-    * (ts = raw nanos long) — same session-independent trick as
-    * `Tables.events`; streaming sources require a schema anyway.
+    * stager can never expose a half-written directory. Staged `ts` is a
+    * raw epoch-MICROS long, normalized from whatever unit the source
+    * fixture declares by going through the unit-aware [[Tables.events]]
+    * (streaming sources require an explicit schema anyway); consumers
+    * convert with plain `timestamp_micros(ts)`.
     */
   /** @param byTime stage the 4 files RANGE-partitioned on ts instead of
     *   round-robin, so microbatches arrive in chronological order — the
@@ -97,13 +99,17 @@ object StreamingOps {
     // exercised (2+ microbatches) at half the per-batch state-commit cost.
     val nFiles = if (byTime) 2 else 4
     val stageKey = java.lang.Long.toHexString(
-      java.util.Objects.hash(dir, srcBytes, srcMtime).toLong & 0xffffffffL) +
+      java.util.Objects.hash("us2", dir, srcBytes, srcMtime).toLong & 0xffffffffL) +
       (if (byTime) s"_t$nFiles" else "") + (if (sentinel) "_s" else "")
     val staged = Paths.get(sys.props("java.io.tmpdir"), s"graft_stream_$stageKey")
     if (!Files.isDirectory(staged)) {
       val tmp = Paths.get(
         staged.toString + s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-      val src = spark.read.schema(fileSchema).parquet(srcPath.toString)
+      // Unit-aware source read (micros vs legacy nanos fixture), then
+      // normalize ts to raw epoch-micros longs for staging. The session
+      // runs in UTC, so the NTZ→TIMESTAMP cast is exact.
+      val src = Tables.events(spark, dir)
+        .withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
       (if (byTime)
         src.repartitionByRange(nFiles, org.apache.spark.sql.functions.col("ts"))
       else src.repartition(nFiles))
@@ -134,10 +140,11 @@ object StreamingOps {
         // guaranteeing every pre-sentinel state entry is evicted (and its
         // outer result emitted) before the drain returns.
         import spark.implicits._
-        Seq(1893456000000000000L, 1924992000000000000L).zipWithIndex
-          .foreach { case (ns, i) =>
+        // 2030-01-01 / 2031-01-01 as epoch-MICROS (the staged ts unit).
+        Seq(1893456000000000L, 1924992000000000L).zipWithIndex
+          .foreach { case (us, i) =>
             val sentTmp = Paths.get(tmp.toString + s"_sent$i")
-            Seq((-1L - i, ns, -1L, "sentinel", 0.0, ""))
+            Seq((-1L - i, us, -1L, "sentinel", 0.0, ""))
               .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
               .coalesce(1).write.parquet(sentTmp.toString)
             val sentPart = {
@@ -192,7 +199,7 @@ object StreamingOps {
     // Watermarks require TIMESTAMP (not NTZ) — keep TimestampType inside
     // the stream (session tz is UTC so wall-clock matches); the window
     // output is already the TimestampType the batch q15 emits.
-    val events = raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val events = raw.withColumn("ts", expr("timestamp_micros(ts)"))
 
     spark.catalog.dropTempView(sinkName)
     val q = events
@@ -243,11 +250,14 @@ object StreamingOps {
     }
 
   /** Stream-stream inner join: clicks joined to same-user purchases that
-    * land within 30 minutes after the click — two independent incremental
+    * land within 6 hours after the click — two independent incremental
     * sources, watermarks on both sides, and a time-range join condition,
     * which is exactly what lets the engine BOUND the join state: a
     * buffered click can be dropped once the purchase-side watermark
-    * passes click-time + 30 min, and vice versa. A drained stream equals
+    * passes click-time + 6 h, and vice versa. (The horizon is sized to
+    * the fixture: at 30 days of events, a 30-min horizon yielded a
+    * near-degenerate 23-row result at sf0.01; 6 h gives ~220 while
+    * staying selective.) A drained stream equals
     * the batch join (the oracle). This is the reference's two-unbounded-
     * inputs branching join (`with_branching_inputs`) rendered the Spark
     * way.
@@ -255,7 +265,7 @@ object StreamingOps {
   def streamStreamJoin(spark: SparkSession, dir: String, sinkName: String): DataFrame =
     withShufflePartitions(spark, 8) {
       def side(tag: String) = stagedEventsStream(spark, dir, byTime = true)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("ts", expr("timestamp_micros(ts)"))
         .select(col("user_id").as(s"${tag}_uid"),
           col("event_id").as(s"${tag}_id"),
           col("ts").as(s"${tag}_ts"),
@@ -268,7 +278,7 @@ object StreamingOps {
       val q = clicks.join(purchases,
           col("c_uid") === col("p_uid") &&
             col("p_ts") >= col("c_ts") &&
-            col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 6 HOURS"))
         .select(col("c_id").as("click_id"), col("p_id").as("purchase_id"))
         .writeStream
         .outputMode(OutputMode.Append())
@@ -282,7 +292,7 @@ object StreamingOps {
 
   /** Stream-stream LEFT OUTER interval join — x56's inner join plus the
     * semantics only a watermark makes possible: a click with NO purchase
-    * inside its 30-minute horizon is emitted null-extended once the
+    * inside its 6-hour horizon is emitted null-extended once the
     * watermark proves no match can still arrive. That proof is the state-
     * eviction contract (inner joins only ever drop state; outer joins
     * must also EMIT on expiry), so this exercises a genuinely different
@@ -340,7 +350,7 @@ object StreamingOps {
       // source advances both watermark nodes batch-for-batch.
       val base = stagedEventsStream(spark, dir, byTime = true,
           sentinel = true)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("ts", expr("timestamp_micros(ts)"))
       def side(tag: String) = base
         .select(col("user_id").as(s"${tag}_uid"),
           col("event_id").as(s"${tag}_id"),
@@ -360,7 +370,7 @@ object StreamingOps {
       val q = clicks.join(purchases,
           col("c_uid") === col("p_uid") &&
             col("p_ts") >= col("c_ts") &&
-            col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 6 HOURS"),
           "leftOuter")
         .select(col("c_id").as("click_id"), col("p_id").as("purchase_id"))
         .filter(col("click_id") >= 0)
@@ -835,7 +845,7 @@ object StreamingOps {
       val state = scala.collection.concurrent.TrieMap
         .empty[(java.sql.Timestamp, String), Long]
       val q = stagedDisorderedEventsStream(spark, dir)
-        .withColumn("tsc", expr("timestamp_micros(ts DIV 1000)"))
+        .withColumn("tsc", expr("timestamp_micros(ts)"))
         .withWatermark("tsc", "1 hour")
         .groupBy(window(col("tsc"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("c"))
@@ -936,6 +946,54 @@ object StreamingOps {
         .orderBy("event_type")
     }
 
+  /** x157: streaming twin of x140's cross-doc boilerplate removal. The
+    * narrow per-doc stage (text → derived lines) runs INSIDE the stream:
+    * each microbatch of arriving docs is lined incrementally and appended
+    * to a parquet line store (the ingest half a production corpus pipeline
+    * runs continuously). The cross-doc frequency decision is inherently
+    * retrospective — a late-arriving doc can flip a line's boilerplate
+    * status for every EARLIER doc — so the removal pass runs at drain
+    * quiescence over the accumulated store, via the exact relational tail
+    * the batch path uses ([[graft.operators.LineOps.boilerplateRemovalFromLined]]).
+    * Sharing x140's oracle hash-certifies drained-ingest ∘
+    * quiescent-removal ≡ batch removal.
+    *
+    * Scale: the stream side is narrow (no state, no shuffle — per-doc
+    * lining only); the store holds the corpus lines once (parquet append,
+    * the DLQ sink idiom, keyed by dir so concurrent SFs don't cross-talk);
+    * the removal tail shuffles on the line key exactly like batch x140.
+    */
+  def streamingBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(spark, 8) {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val stageKey = java.lang.Long.toHexString(
+        java.util.Objects.hash("boiler", dir).toLong & 0xffffffffL)
+      val sink = Paths.get(sys.props("java.io.tmpdir"), s"graft_x157_lines_$stageKey")
+      if (Files.exists(sink)) {
+        val s = Files.walk(sink)
+        try s.iterator().asScala.toSeq.reverse.foreach(Files.delete) finally s.close()
+      }
+      Files.createDirectories(sink)
+      val lined = graft.operators.LineOps.linedDocs(stagedDocsStream(spark, dir))
+      val q = lined.writeStream
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(sink.toString)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val linedSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lines",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))))
+      graft.operators.LineOps.boilerplateRemovalFromLined(
+        spark.read.schema(linedSchema).parquet(sink.toString))
+    }
+
   /** x131's oracle, shared verbatim: the hash gate proves the streaming
     * two-sink split reduces to exactly the batch quarantine.
     */
@@ -1019,6 +1077,11 @@ object StreamingOps {
               |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     QueryDef(
+      "x157_stream_boilerplate",
+      (s, dir) => streamingBoilerplate(s, dir),
+      Some(graft.operators.LineOps.boilerplateRemovalSql)),
+
+    QueryDef(
       "x44_stream_dedup",
       (s, dir) => streamingDedup(s, dir, "x44_stream_dedup_sink"),
       Some("""SELECT DISTINCT user_id, event_type FROM events
@@ -1031,7 +1094,7 @@ object StreamingOps {
              |FROM events c JOIN events p
              |  ON c.user_id = p.user_id
              | AND c.event_type = 'click' AND p.event_type = 'purchase'
-             | AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + 1800000000
+             | AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + 21600000000
              |ORDER BY click_id, purchase_id""".stripMargin)),
 
     QueryDef(
@@ -1040,7 +1103,7 @@ object StreamingOps {
       Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id
              |FROM events c LEFT JOIN events p
              |  ON c.user_id = p.user_id AND p.event_type = 'purchase'
-             | AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + 1800000000
+             | AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + 21600000000
              |WHERE c.event_type = 'click'
              |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin)),
 
