@@ -190,6 +190,28 @@ object PlanAudit {
       _.contains("graft_lev_leq"))
     check("x152_triangles", "closing-edge probe broadcast (wedge set never shuffles)",
       _.contains("BroadcastHashJoin"))
+    // The broadcast above is GATED on measured edge bytes vs the broadcast
+    // bar (r7 verdict: an unconditional edge-list broadcast is a
+    // 100x-scale killer — ~10^8 edges is GBs to every executor). Past the
+    // bar the closing probe must degrade to a plain shuffle join.
+    locally {
+      spark.conf.set("graft.triangles.broadcastMaxBytes", "64")
+      try {
+        // AQE may legitimately re-introduce a broadcast at runtime from
+        // measured shuffle sizes; the gate's contract is only that the
+        // FORCED hint is gone, so inspect the optimized logical plan.
+        val df = SparkEntry.queries("x152_triangles")(spark, dir)
+        df.collect()
+        val forced = df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join
+              if j.hint.leftHint.exists(_.strategy.nonEmpty) ||
+                j.hint.rightHint.exists(_.strategy.nonEmpty) => j
+        }
+        val ok = forced.isEmpty
+        if (!ok) failed += 1
+        println(f"${"x152_triangles"}%-22s ${"past the bar: no forced broadcast hint"}%-40s ${if (ok) "OK" else "MISSING"}")
+      } finally spark.conf.unset("graft.triangles.broadcastMaxBytes")
+    }
     check("x153_source_drift", "vocabulary broadcast to the per-source grid",
       p => p.contains("BroadcastExchange"))
 

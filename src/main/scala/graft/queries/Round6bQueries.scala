@@ -425,18 +425,31 @@ object Round6bQueries {
       .localCheckpoint()
     // The wedge set (e1⋈e2) is the big intermediate — ~Σ in(v)·out(v)
     // rows. When the edge list fits the broadcast bar, BROADCAST the
-    // closing-edge probe so wedges never shuffle (14.1 s → 7.4 s at
-    // sf0.1: two longs per row, MBs). But an unconditional broadcast is
-    // a scale-killer — ~10⁸ edges at 100× is GBs shipped to every
-    // executor — so gate on measured edge bytes vs
-    // autoBroadcastJoinThreshold (the x05 switch): past the bar, the
-    // closing probe becomes a plain shuffle join on (u, v), which AQE
-    // plans as a hash join co-partitioned with the wedge output. Count
-    // is cheap: `e` is localCheckpointed, so it scans materialized
-    // blocks, not the self-join lineage. Both branches share the oracle.
+    // closing-edge probe so wedges never shuffle (measured at sf0.1:
+    // broadcast 7.0-8.7 s vs shuffle-join fallback 23.5 s in-suite —
+    // the wedge exchange is the whole delta). But an unconditional
+    // broadcast is a scale-killer — ~10⁸ edges at 100× is GBs shipped
+    // to every executor — so gate on MEASURED edge bytes (the x05
+    // switch idiom). The bar is NOT the 10 MB auto-join default: that
+    // bar prices an arbitrary unknown-width plan, while this side is a
+    // known 16 B/edge packed relation whose alternative is shuffling
+    // the far larger wedge set — so a dedicated knob is the bar
+    // (graft.triangles.broadcastMaxBytes, default 256 MB ≈ 16 M edges,
+    // comfortably inside a production executor heap), while
+    // autoBroadcastJoinThreshold=-1 (broadcast disabled session-wide)
+    // is respected absolutely. Past the bar, the closing probe becomes
+    // a plain shuffle join on (u, v), co-partitioned with the wedge
+    // output (AQE can still re-broadcast from MEASURED runtime sizes —
+    // the safe direction). Count is cheap: `e` is localCheckpointed, so
+    // it scans materialized blocks, not the self-join lineage. Both
+    // branches share the oracle.
     val edgeBytes = e.count() * 16L
-    val limit = graft.operators.Dedup.broadcastLimitBytes(s)
-    val e3 = if (limit > 0 && edgeBytes <= limit) broadcast(e.as("e3")) else e.as("e3")
+    val autoBar = graft.operators.Dedup.broadcastLimitBytes(s)
+    val barRaw = s.conf.get("graft.triangles.broadcastMaxBytes", "256MB")
+    val bar = barRaw.toLongOption.getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(barRaw))
+    val e3 = if (autoBar > 0 && edgeBytes <= bar)
+      broadcast(e.as("e3")) else e.as("e3")
     e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
       .join(e3,
         col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
