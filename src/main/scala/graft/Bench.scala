@@ -134,28 +134,33 @@ object Bench {
         else isolated.map { case (k, v) => "\"" + sid(k) + "\":" + cs(v) }
           .mkString(""","isolated":{""", ",", "}")
       // sf shortened to its basename ("sf0.1") — the full path cost 18
-      // tail chars for zero information.
+      // tail chars for zero information; total at decisecond precision
+      // on stdout (full 3-decimal total is in target/bench.json).
       val sfShort = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec"$note$iso,"queries":$qs,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${cs(total)},"unit":"sec"$note$iso,"queries":$qs,"sf":"$sfShort"}"""
     }
-    // Keep the stdout line under ~1.9 KB no matter how the suite grows
-    // (sbt's trailing "[success]" line eats ~100 B of the driver's 2 KB
-    // tail). Priority order (r7 lesson — the isolated map crowded out 30
-    // per-query times from the official record): (1) complete queries map
-    // + isolated map; (2) complete queries map, isolated only in
-    // target/bench.json; (3) slowest-that-fit with an elided count — a
-    // truncated-but-parseable line beats an overflowing complete one.
+    // Keep the stdout line inside the driver's 2 KB stdout tail: the
+    // overhead sharing that tail is sbt's "[info] " prefix (7 B), the
+    // trailing "[success] Total time: …" line (~77 B) and two newlines —
+    // measured ~90 B, so cap at 1910. Priority order (r7 lesson — the
+    // isolated map crowded out 30 per-query times from the official
+    // record): (1) complete queries map + isolated map; (2) complete
+    // queries map, isolated only in target/bench.json; (3) elide the
+    // FEWEST fastest queries that make it fit (step of 1, not 10) with
+    // an elided count — a truncated-but-parseable line beats an
+    // overflowing complete one.
+    val lineCap = 1910
     val withIsoLine = shortLine(results, "", withIso = true)
     val noIsoLine = shortLine(results, "", withIso = false)
     val compact =
-      if (withIsoLine.length <= 1900) withIsoLine
-      else if (noIsoLine.length <= 1900) noIsoLine
+      if (withIsoLine.length <= lineCap) withIsoLine
+      else if (noIsoLine.length <= lineCap) noIsoLine
       else {
         val bySlow = results.sortBy(-_._2)
         var keep = bySlow.length
         var line = noIsoLine
-        while (line.length > 1900 && keep > 1) {
-          keep = math.max(1, keep - 10)
+        while (line.length > lineCap && keep > 1) {
+          keep -= 1
           line = shortLine(bySlow.take(keep).sortBy(_._1),
             s""","elided":${results.length - keep}""", withIso = false)
         }
