@@ -18,10 +18,23 @@ import scala.jdk.CollectionConverters._
   */
 class FixtureSchemaSpec extends SparkSuite {
 
-  /** (min, max) epoch-micros of `ts` straight off the parquet footer,
-    * normalized from whatever unit the file declares.
+  /** (min, max) epoch-micros of `ts` straight off the parquet footers,
+    * normalized from whatever unit each file declares. Handles both a
+    * single-file fixture (current) and a parquet directory (a future
+    * regeneration could ship either).
     */
   private def footerTsRangeMicros(path: String): (Long, Long) = {
+    val f = new java.io.File(path)
+    val files =
+      if (f.isDirectory)
+        f.listFiles().filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+      else Seq(path)
+    assert(files.nonEmpty, s"no parquet files under $path")
+    val ranges = files.map(footerTsRangeMicrosFile)
+    (ranges.map(_._1).min, ranges.map(_._2).max)
+  }
+
+  private def footerTsRangeMicrosFile(path: String): (Long, Long) = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
     val conf = spark.sessionState.newHadoopConf()
