@@ -199,9 +199,10 @@ object PlanAudit {
       try {
         // AQE may legitimately re-introduce a broadcast at runtime from
         // measured shuffle sizes; the gate's contract is only that the
-        // FORCED hint is gone, so inspect the optimized logical plan.
+        // FORCED hint is gone, so inspect the optimized logical plan —
+        // no collect(): analysis/optimization forces the plan without
+        // executing the (deliberately slow) fallback branch.
         val df = SparkEntry.queries("x152_triangles")(spark, dir)
-        df.collect()
         val forced = df.queryExecution.optimizedPlan.collect {
           case j: org.apache.spark.sql.catalyst.plans.logical.Join
               if j.hint.leftHint.exists(_.strategy.nonEmpty) ||

@@ -15,8 +15,10 @@ object Sessions {
     *  - shuffle.partitions matches local core count here; on a real cluster
     *    AQE's coalesce makes the initial number mostly irrelevant.
     *  - UTC: deterministic timestamp semantics. (nanosAsLong is kept for
-    *    ad-hoc `spark.read` of the events parquet; [[Tables.events]] itself
-    *    reads with an explicit schema and works on any session.)
+    *    ad-hoc `spark.read` of a legacy nanos events parquet;
+    *    [[Tables.events]] itself probes the footer encoding and reads
+    *    session-independently — its instant-typed branch converts through
+    *    convert_timezone so even a non-UTC session gets UTC wall time.)
     */
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()

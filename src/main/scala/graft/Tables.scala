@@ -46,7 +46,14 @@ object Tables {
       case scala.util.Success(TimestampNTZType) =>
         spark.read.parquet(path)
       case scala.util.Success(TimestampType) =>
-        spark.read.parquet(path).withColumn("ts", expr("CAST(ts AS TIMESTAMP_NTZ)"))
+        // Instant-typed column (isAdjustedToUTC=true, or NTZ inference
+        // disabled) → UTC wall clock, SESSION-INDEPENDENTLY: the NTZ cast
+        // materializes session-tz wall time, and two-arg convert_timezone
+        // re-interprets from the session tz to UTC — the two session-tz
+        // uses cancel, so a non-UTC driver session reads the same NTZ
+        // values DuckDB does.
+        spark.read.parquet(path).withColumn("ts",
+          expr("convert_timezone('UTC', CAST(ts AS TIMESTAMP_NTZ))"))
       case _ =>
         val raw = StructType(Seq(
           StructField("event_id", LongType), StructField("ts", LongType),

@@ -584,16 +584,19 @@ object Dedup {
     else embeddingNearDupPairsDist(emb, threshold)
   }
 
-  /** `spark.sql.autoBroadcastJoinThreshold` in bytes — the bar every
-    * "collect/broadcast one side" decision in this library is gated on.
-    * The conf accepts both size strings ("10MB") and plain byte counts
-    * incl. the -1 disable sentinel, which byteStringAsBytes rejects.
+  /** Size-conf parse shared by every byte-bar gate in the library: accepts
+    * both size strings ("10MB") and plain byte counts incl. the -1 disable
+    * sentinel, which byteStringAsBytes rejects.
     */
-  private[graft] def broadcastLimitBytes(spark: org.apache.spark.sql.SparkSession): Long = {
-    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+  private[graft] def parseBytesConf(raw: String): Long =
     raw.toLongOption.getOrElse(
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
-  }
+
+  /** `spark.sql.autoBroadcastJoinThreshold` in bytes — the bar every
+    * "collect/broadcast one side" decision in this library is gated on.
+    */
+  private[graft] def broadcastLimitBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    parseBytesConf(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
 
   /** Connected components over the near-dup pair graph — the cluster step
     * a dedup pipeline runs after pair generation (keep one doc per

@@ -445,9 +445,8 @@ object Round6bQueries {
     // branches share the oracle.
     val edgeBytes = e.count() * 16L
     val autoBar = graft.operators.Dedup.broadcastLimitBytes(s)
-    val barRaw = s.conf.get("graft.triangles.broadcastMaxBytes", "256MB")
-    val bar = barRaw.toLongOption.getOrElse(
-      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(barRaw))
+    val bar = graft.operators.Dedup.parseBytesConf(
+      s.conf.get("graft.triangles.broadcastMaxBytes", "256MB"))
     val e3 = if (autoBar > 0 && edgeBytes <= bar)
       broadcast(e.as("e3")) else e.as("e3")
     e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))

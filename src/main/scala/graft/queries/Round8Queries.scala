@@ -49,7 +49,12 @@ object Round8Queries {
       md5(col("doc_id").cast("string")).as("k"),
       size(filter(split(col("text"), " "), (w: Column) => w =!= ""))
         .cast("long").as("n_tok"))
+    // Materialized once: both the per-bucket window and the bucket-totals
+    // aggregate consume this, and without the checkpoint each branch
+    // re-scans and re-tokenizes the corpus — the dominant cost at scale.
+    // The checkpointed projection is 4 narrow columns, not the text.
     val bucketed = toks.withColumn("bucket", substring(col("k"), 1, 2))
+      .localCheckpoint()
     val w = Window.partitionBy("bucket").orderBy("k", "doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val inBucket = bucketed.withColumn("cum_b",

@@ -780,7 +780,7 @@ object StreamingOps {
     import scala.jdk.CollectionConverters._
     val srcPath = Paths.get(dir, "events.parquet")
     val stageKey = java.lang.Long.toHexString(
-      java.util.Objects.hash("disorder", dir, Files.size(srcPath),
+      java.util.Objects.hash("disorder_us2", dir, Files.size(srcPath),
         Files.getLastModifiedTime(srcPath).toMillis).toLong & 0xffffffffL)
     val rawSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
@@ -794,9 +794,11 @@ object StreamingOps {
       val tmp = Paths.get(
         staged.toString + s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       Files.createDirectories(tmp)
-      // raw long nanos ts (watermarks need TimestampType, converted by
-      // the consumer — the stagedEventsStream convention)
-      val ev = spark.read.schema(rawSchema).parquet(srcPath.toString)
+      // Unit-aware source read, normalized to raw epoch-MICROS longs —
+      // the stagedEventsStream convention (watermarks need TimestampType,
+      // converted by the consumer via timestamp_micros).
+      val ev = Tables.events(spark, dir)
+        .withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
       (0 until 4).foreach { k =>
         val part = Paths.get(tmp.toString, s"bucket_$k")
         ev.filter(pmod(col("event_id"), lit(4)) === k)
