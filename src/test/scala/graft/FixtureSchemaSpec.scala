@@ -90,6 +90,29 @@ class FixtureSchemaSpec extends SparkSuite {
     }
   }
 
+  test("instant-typed events fixture reads session-independently") {
+    // Exercise the loader's TimestampType branch (the current fixture
+    // infers NTZ, so this branch otherwise never runs): write an
+    // isAdjustedToUTC=true twin (Spark's TimestampType parquet output),
+    // then read it on a UTC session AND a Tokyo session — the
+    // convert_timezone composition must yield identical UTC wall times,
+    // equal to the original fixture's.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tz").toString
+    Tables.events(spark, sfDir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("CAST(ts AS TIMESTAMP)"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val instType = spark.read.parquet(s"$tmp/events.parquet").schema("ts").dataType
+    assert(instType == org.apache.spark.sql.types.TimestampType,
+      s"twin fixture unexpectedly wrote $instType")
+    val utc = Tables.events(spark, tmp).agg(min("ts"), max("ts")).head()
+    val tokyo = spark.newSession()
+    tokyo.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    val jst = Tables.events(tokyo, tmp).agg(min("ts"), max("ts")).head()
+    assert(utc == jst, s"session tz leaked into the instant branch: $utc vs $jst")
+    val orig = Tables.events(spark, sfDir).agg(min("ts"), max("ts")).head()
+    assert(utc == orig, s"instant round-trip drifted: $utc vs $orig")
+  }
+
   test("Tables.events ts is TIMESTAMP_NTZ with the full column set") {
     val df = Tables.events(spark, sfDir)
     assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
