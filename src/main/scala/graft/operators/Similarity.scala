@@ -255,6 +255,51 @@ object Similarity {
       .orderBy("qid", "vec_id")
   }
 
+  /** Recall certification for the banded-LSH routing path: for each query
+    * in the probe set, recall@k of [[annTopKBanded]]'s answer against the
+    * exact top-k — the quality metric every ANN deployment tracks next to
+    * its latency. Produced as an integer per-10k table (the house oracle
+    * rule), one row per query.
+    *
+    * Scale shape: one corpus pass builds the banded index (the x81
+    * structure), the probe set broadcasts (bands×|Q| rows), the exact side
+    * is [[batchCosineTopK]] (WindowGroupLimit-pruned), and the final
+    * intersection is a per-(qid, vec_id) equi-join of two ≤ k·|Q|-row
+    * sides. Nothing scales with corpus² — the certification costs one
+    * extra exact pass over the corpus, which an offline eval pays by
+    * design.
+    */
+  def annRecallBanded(spark: SparkSession, emb: DataFrame,
+      maxQueryId: Long = 8L, k: Int = 10, planes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bandBits = planes / bands
+    val mask = (1 << bandBits) - 1
+    val sigs = hyperplaneSigs(spark, emb, planes)
+    val banded = sigs.select(col("vec_id"), col("e"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bv")))
+    val qBands = banded.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("qid"), col("band"), col("bv"),
+        col("e").as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("cos_sim"), asc("vec_id"))
+    val lsh = banded.join(broadcast(qBands), Seq("band", "bv"))
+      .dropDuplicates("qid", "vec_id") // a row can match on several bands
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("e"), col("q")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    val exact = batchCosineTopK(emb, maxQueryId, k).select("qid", "vec_id")
+    exact.join(lsh, Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        expr(s"CAST(n_hits * 10000 DIV $k AS BIGINT)").as("recall_per_10k"))
+      .orderBy("qid")
+  }
+
   /** IVF (inverted-file) ANN: a deterministic k-means coarse quantizer
     * partitions vectors into `nlist` cells; a query probes only the
     * `nprobe` nearest cells and re-ranks exactly within them.
@@ -469,6 +514,43 @@ object Similarity {
        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
   }
 
+  // Recall@10 of the banded route vs exact, probe set vec_id < 8. The
+  // candidate CTE is x81's band-equality OR with a query SET; the exact
+  // side is x89's ranked CTE; the tail counts per-query intersections.
+  private val annRecallSql = {
+    val bandEq = (0 until 4).map(b =>
+      s"((sg.sig >> ${b * 4}) & 15) = ((q.qsig >> ${b * 4}) & 15)")
+      .mkString("(", " OR ", ")")
+    s"""$sigCtesSql,
+       | q AS (SELECT sg.vec_id AS qid, sg.sig AS qsig, e.v AS qv
+       |       FROM e JOIN sg USING (vec_id) WHERE sg.vec_id < 8),
+       | lsh AS (
+       |   SELECT qid, vec_id FROM (
+       |     SELECT q.qid, e.vec_id,
+       |            row_number() OVER (PARTITION BY q.qid ORDER BY
+       |              round(list_dot_product(e.v, q.qv)
+       |                / (sqrt(list_dot_product(e.v, e.v))
+       |                 * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+       |              e.vec_id ASC) AS rn
+       |     FROM e JOIN sg USING (vec_id), q
+       |     WHERE $bandEq) c
+       |   WHERE rn <= 10),
+       | ex AS (
+       |   SELECT qid, vec_id FROM (
+       |     SELECT q.qid, e.vec_id,
+       |            row_number() OVER (PARTITION BY q.qid ORDER BY
+       |              round(list_dot_product(e.v, q.qv)
+       |                / (sqrt(list_dot_product(e.v, e.v))
+       |                 * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+       |              e.vec_id ASC) AS rn
+       |     FROM e, q) r
+       |   WHERE rn <= 10)
+       |SELECT ex.qid, CAST(count(lsh.vec_id) AS BIGINT) AS n_hits,
+       |       CAST(count(lsh.vec_id) * 10000 // 10 AS BIGINT) AS recall_per_10k
+       |FROM ex LEFT JOIN lsh USING (qid, vec_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
     // Q18 of SURVEY §2.C: exact brute-force cosine top-10 for vec_id=0.
     QueryDef(
@@ -546,6 +628,15 @@ object Similarity {
              |              * sqrt(list_dot_product(q.qe, q.qe))), 6) DESC, e.vec_id) AS rn
              |  FROM embeddings e, q) ranked
              |WHERE rn <= 3 ORDER BY qid, vec_id""".stripMargin)),
+
+    // Recall certification of the banded route against exact top-k over
+    // a probe SET — the offline eval an ANN deployment runs per index
+    // build; both the candidate definition and the exact side replay in
+    // DuckDB, so the recall NUMBERS are hash-gated, not asserted.
+    QueryDef(
+      "x160_ann_recall",
+      (s, dir) => annRecallBanded(s, Tables.embeddings(s, dir)),
+      Some(annRecallSql)),
 
     // The int8 quantization is engine-specific, but the exact re-rank of
     // the top-50 candidates makes the final top-10 EQUAL the brute-force
