@@ -57,8 +57,13 @@ object Bench {
     // at 176 queries and elided 20; one decimal (~10.5 B/query) keeps all
     // ~178 queries visible in the official record (r6 verdict task 9 —
     // full 3-decimal precision is always in target/bench.json).
-    def cs(v: Double): String = BigDecimal(v)
-      .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+    // Integral deciseconds drop the redundant ".0" ("2.0" → "2", still a
+    // valid JSON number of seconds) — ~9 entries per run, and those ~18
+    // bytes are what keeps the 180-query map inside the tail cap.
+    def cs(v: Double): String = {
+      val s = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+      if (s.isWhole) s.toBigInt.toString else s.toString
+    }
     def sid(k: String): String = {
       val id = k.takeWhile(_ != '_')
       val digits = id.tail.dropWhile(_ == '0')
