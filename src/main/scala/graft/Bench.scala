@@ -92,7 +92,10 @@ object Bench {
       files.sortBy(_._1).lastOption.map { case (_, f) =>
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
-        val pairRe = """\\?"([qx]\d+)\\?":(\d+\.\d+)""".r
+        // Value may be integral ("x152":7) since the .0-stripping change —
+        // the decimal part is optional or the whole-decisecond entries
+        // vanish from next round's drift adjudication.
+        val pairRe = """\\?"([qx]\d+)\\?":(\d+(?:\.\d+)?)""".r
         pairRe.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap // last wins
       }.getOrElse(Map.empty)

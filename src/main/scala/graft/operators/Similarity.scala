@@ -170,16 +170,24 @@ object Similarity {
     * the simhash banded join (Dedup.simhashPairs). Exact cosine re-rank
     * over candidates only.
     */
-  def annTopKBanded(spark: SparkSession, emb: DataFrame, queryId: Long,
-      k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
+  /** The banded bucket-key projection shared by every banded route (x81
+    * single-probe, x138 multiprobe, x160 recall certification) — one
+    * definition, so the certified candidate structure and the production
+    * routes are the same code by construction.
+    */
+  private def bandedSigs(sigs: DataFrame, planes: Int, bands: Int): DataFrame = {
     val bandBits = planes / bands
     val mask = (1 << bandBits) - 1
-    val sigs = hyperplaneSigs(spark, emb, planes)
-    val banded = sigs.select(col("vec_id"), col("e"),
+    sigs.select(col("vec_id"), col("e"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bv")))
+  }
+
+  def annTopKBanded(spark: SparkSession, emb: DataFrame, queryId: Long,
+      k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val banded = bandedSigs(hyperplaneSigs(spark, emb, planes), planes, bands)
     val qBands = banded.filter(col("vec_id") === queryId)
       .select(col("band"), col("bv"), col("e").as("q"))
     banded.join(broadcast(qBands), Seq("band", "bv"))
@@ -208,12 +216,7 @@ object Similarity {
       k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val bandBits = planes / bands
-    val mask = (1 << bandBits) - 1
-    val sigs = hyperplaneSigs(spark, emb, planes)
-    val banded = sigs.select(col("vec_id"), col("e"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band", "bv")))
+    val banded = bandedSigs(hyperplaneSigs(spark, emb, planes), planes, bands)
     // query-side expansion: the exact bucket plus its bandBits 1-bit flips
     val qProbes = banded.filter(col("vec_id") === queryId)
       .select(col("band"),
@@ -273,13 +276,7 @@ object Similarity {
       maxQueryId: Long = 8L, k: Int = 10, planes: Int = 16,
       bands: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val bandBits = planes / bands
-    val mask = (1 << bandBits) - 1
-    val sigs = hyperplaneSigs(spark, emb, planes)
-    val banded = sigs.select(col("vec_id"), col("e"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band", "bv")))
+    val banded = bandedSigs(hyperplaneSigs(spark, emb, planes), planes, bands)
     val qBands = banded.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("qid"), col("band"), col("bv"),
         col("e").as("q"))
@@ -497,11 +494,14 @@ object Similarity {
        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
 
   // bands=4 × 4 bits: a candidate shares at least one exact band with the
-  // query — the OR of the four masked band comparisons.
+  // query — the OR of the four masked band comparisons. ONE definition,
+  // shared by x81's answer oracle and x160's recall certification of the
+  // same candidate structure.
+  private val bandEq = (0 until 4).map(b =>
+    s"((sg.sig >> ${b * 4}) & 15) = ((q.qsig >> ${b * 4}) & 15)")
+    .mkString("(", " OR ", ")")
+
   private val annBandedSql = {
-    val bandEq = (0 until 4).map(b =>
-      s"((sg.sig >> ${b * 4}) & 15) = ((q.qsig >> ${b * 4}) & 15)")
-      .mkString("(", " OR ", ")")
     s"""$sigCtesSql,
        | q AS (SELECT e.v AS qv, sg.sig AS qsig
        |       FROM e JOIN sg USING (vec_id) WHERE vec_id = 0)
@@ -515,36 +515,30 @@ object Similarity {
   }
 
   // Recall@10 of the banded route vs exact, probe set vec_id < 8. The
-  // candidate CTE is x81's band-equality OR with a query SET; the exact
-  // side is x89's ranked CTE; the tail counts per-query intersections.
+  // candidate CTE is x81's band-equality OR (shared `bandEq`) with a
+  // query SET; the exact side is x89's ranked CTE; one ranked-cosine
+  // builder feeds both so rounding/tie-break edits hit both sides or
+  // neither. The tail counts per-query intersections.
   private val annRecallSql = {
-    val bandEq = (0 until 4).map(b =>
-      s"((sg.sig >> ${b * 4}) & 15) = ((q.qsig >> ${b * 4}) & 15)")
-      .mkString("(", " OR ", ")")
+    // per-(qid) ranked cosine over `e × q` rows from `from` — the shared
+    // scoring kernel of the lsh and exact CTEs.
+    def ranked(from: String): String =
+      s"""SELECT qid, vec_id FROM (
+         |     SELECT q.qid, e.vec_id,
+         |            row_number() OVER (PARTITION BY q.qid ORDER BY
+         |              round(list_dot_product(e.v, q.qv)
+         |                / (sqrt(list_dot_product(e.v, e.v))
+         |                 * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+         |              e.vec_id ASC) AS rn
+         |     FROM $from) c
+         |   WHERE rn <= 10""".stripMargin
     s"""$sigCtesSql,
        | q AS (SELECT sg.vec_id AS qid, sg.sig AS qsig, e.v AS qv
        |       FROM e JOIN sg USING (vec_id) WHERE sg.vec_id < 8),
        | lsh AS (
-       |   SELECT qid, vec_id FROM (
-       |     SELECT q.qid, e.vec_id,
-       |            row_number() OVER (PARTITION BY q.qid ORDER BY
-       |              round(list_dot_product(e.v, q.qv)
-       |                / (sqrt(list_dot_product(e.v, e.v))
-       |                 * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
-       |              e.vec_id ASC) AS rn
-       |     FROM e JOIN sg USING (vec_id), q
-       |     WHERE $bandEq) c
-       |   WHERE rn <= 10),
+       |   ${ranked(s"e JOIN sg USING (vec_id), q WHERE $bandEq")}),
        | ex AS (
-       |   SELECT qid, vec_id FROM (
-       |     SELECT q.qid, e.vec_id,
-       |            row_number() OVER (PARTITION BY q.qid ORDER BY
-       |              round(list_dot_product(e.v, q.qv)
-       |                / (sqrt(list_dot_product(e.v, e.v))
-       |                 * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
-       |              e.vec_id ASC) AS rn
-       |     FROM e, q) r
-       |   WHERE rn <= 10)
+       |   ${ranked("e, q")})
        |SELECT ex.qid, CAST(count(lsh.vec_id) AS BIGINT) AS n_hits,
        |       CAST(count(lsh.vec_id) * 10000 // 10 AS BIGINT) AS recall_per_10k
        |FROM ex LEFT JOIN lsh USING (qid, vec_id)

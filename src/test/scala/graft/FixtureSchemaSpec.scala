@@ -97,20 +97,28 @@ class FixtureSchemaSpec extends SparkSuite {
     // then read it on a UTC session AND a Tokyo session — the
     // convert_timezone composition must yield identical UTC wall times,
     // equal to the original fixture's.
-    val tmp = java.nio.file.Files.createTempDirectory("graft_tz").toString
-    Tables.events(spark, sfDir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("CAST(ts AS TIMESTAMP)"))
-      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
-    val instType = spark.read.parquet(s"$tmp/events.parquet").schema("ts").dataType
-    assert(instType == org.apache.spark.sql.types.TimestampType,
-      s"twin fixture unexpectedly wrote $instType")
-    val utc = Tables.events(spark, tmp).agg(min("ts"), max("ts")).head()
-    val tokyo = spark.newSession()
-    tokyo.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
-    val jst = Tables.events(tokyo, tmp).agg(min("ts"), max("ts")).head()
-    assert(utc == jst, s"session tz leaked into the instant branch: $utc vs $jst")
-    val orig = Tables.events(spark, sfDir).agg(min("ts"), max("ts")).head()
-    assert(utc == orig, s"instant round-trip drifted: $utc vs $orig")
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft_tz")
+    val tmp = tmpPath.toString
+    try {
+      Tables.events(spark, sfDir)
+        .withColumn("ts", org.apache.spark.sql.functions.expr("CAST(ts AS TIMESTAMP)"))
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val instType = spark.read.parquet(s"$tmp/events.parquet").schema("ts").dataType
+      assert(instType == org.apache.spark.sql.types.TimestampType,
+        s"twin fixture unexpectedly wrote $instType")
+      val utc = Tables.events(spark, tmp).agg(min("ts"), max("ts")).head()
+      val tokyo = spark.newSession()
+      tokyo.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val jst = Tables.events(tokyo, tmp).agg(min("ts"), max("ts")).head()
+      assert(utc == jst, s"session tz leaked into the instant branch: $utc vs $jst")
+      val orig = Tables.events(spark, sfDir).agg(min("ts"), max("ts")).head()
+      assert(utc == orig, s"instant round-trip drifted: $utc vs $orig")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(tmpPath)
+      try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally s.close()
+    }
   }
 
   test("Tables.events ts is TIMESTAMP_NTZ with the full column set") {
