@@ -104,6 +104,11 @@ object Bench {
     // time and the verdict asked for the gap to be pinned down IN the
     // official record each round, not presumed co-tenancy.
     val pinnedIsolated = Set("x137_incremental_dedup")
+    // The top-5 in-suite costs ALWAYS get isolated re-runs (r8 verdict #7:
+    // r7 and r8 both spent judge/builder time re-measuring co-tenancy
+    // artifacts after the fact — the official record now carries its own
+    // adjudication every round).
+    val top5 = results.sortBy(-_._2).take(5).map(_._1).toSet
     val isolated: Seq[(String, Double)] =
       if (only.nonEmpty) Seq.empty // isolation experiments: skip adjudication
       else results.flatMap { case (n, v) =>
@@ -111,7 +116,8 @@ object Bench {
           case Some(p) => p >= 0.05 && v > 1.5 * p && v - p > 0.1
           case None => false
         }
-        if (drifted || pinnedIsolated(n)) Some(n -> math.min(run(n), run(n)))
+        if (drifted || pinnedIsolated(n) || top5(n))
+          Some(n -> math.min(run(n), run(n)))
         else None
       }
 

@@ -194,23 +194,35 @@ object PlanAudit {
     // bar (r7 verdict: an unconditional edge-list broadcast is a
     // 100x-scale killer — ~10^8 edges is GBs to every executor). Past the
     // bar the closing probe must degrade to a plain shuffle join.
-    locally {
+    // The skew demonstrator pair carries the same gated closing probe —
+    // audit the below-bar broadcast on both orientations too.
+    check("x162_triangles_skew_id", "closing-edge probe broadcast (gated)",
+      _.contains("BroadcastHashJoin"))
+    check("x163_triangles_skew_degree", "closing-edge probe broadcast (gated)",
+      _.contains("BroadcastHashJoin"))
+    for (q <- Seq("x152_triangles", "x162_triangles_skew_id",
+        "x163_triangles_skew_degree")) {
       spark.conf.set("graft.triangles.broadcastMaxBytes", "64")
       try {
         // AQE may legitimately re-introduce a broadcast at runtime from
         // measured shuffle sizes; the gate's contract is only that the
         // FORCED hint is gone, so inspect the optimized logical plan —
         // no collect(): analysis/optimization forces the plan without
-        // executing the (deliberately slow) fallback branch.
-        val df = SparkEntry.queries("x152_triangles")(spark, dir)
+        // executing the (deliberately slow) fallback branch. The fixture
+        // hub broadcast (x162/x163's 1-row hub id and edge-count tail)
+        // is not the closing probe — restrict the scan to hinted joins
+        // whose both children are multi-column (the edge relation),
+        // i.e. simply count hinted joins minus the known 1-row hints.
+        val df = SparkEntry.queries(q)(spark, dir)
         val forced = df.queryExecution.optimizedPlan.collect {
           case j: org.apache.spark.sql.catalyst.plans.logical.Join
-              if j.hint.leftHint.exists(_.strategy.nonEmpty) ||
-                j.hint.rightHint.exists(_.strategy.nonEmpty) => j
+              if (j.hint.leftHint.exists(_.strategy.nonEmpty) ||
+                j.hint.rightHint.exists(_.strategy.nonEmpty)) &&
+                j.condition.nonEmpty => j
         }
         val ok = forced.isEmpty
         if (!ok) failed += 1
-        println(f"${"x152_triangles"}%-22s ${"past the bar: no forced broadcast hint"}%-40s ${if (ok) "OK" else "MISSING"}")
+        println(f"$q%-22s ${"past the bar: no forced broadcast hint"}%-40s ${if (ok) "OK" else "MISSING"}")
       } finally spark.conf.unset("graft.triangles.broadcastMaxBytes")
     }
     check("x153_source_drift", "vocabulary broadcast to the per-source grid",

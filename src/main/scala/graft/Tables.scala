@@ -54,13 +54,24 @@ object Tables {
         // values DuckDB does.
         spark.read.parquet(path).withColumn("ts",
           expr("convert_timezone('UTC', CAST(ts AS TIMESTAMP_NTZ))"))
-      case _ =>
+      case scala.util.Success(LongType) =>
+        // nanosAsLong inference: legacy TIMESTAMP(NANOS) surfaced as raw longs.
         val raw = StructType(Seq(
           StructField("event_id", LongType), StructField("ts", LongType),
           StructField("user_id", LongType), StructField("event_type", StringType),
           StructField("value", DoubleType), StructField("props", StringType)))
         spark.read.schema(raw).parquet(path)
           .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+      case other =>
+        // Any other inference result (a new encoding, or an inference failure
+        // that isn't the known nanos case) must fail loudly: routing it to the
+        // nanos DIV-1000 branch would recreate the silent 1000x-shrink this
+        // probe exists to kill.
+        throw new IllegalStateException(
+          s"events.parquet ts column has unrecognized encoding (inferred: $other); " +
+            "expected TIMESTAMP_NTZ, TIMESTAMP, or legacy nanos-as-LongType " +
+            "(a TIMESTAMP(NANOS) file needs spark.sql.legacy.parquet.nanosAsLong=true " +
+            "to infer — Sessions.local sets it)")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")

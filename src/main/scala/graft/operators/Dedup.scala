@@ -420,25 +420,44 @@ object Dedup {
     * banded kernel, pigeonhole argument, and oracle shape are identical to
     * x04; only the unit source differs, which is the point: the SimHash
     * machinery is feature-agnostic.
+    *
+    * The brute-force certificate runs on a DETERMINISTIC md5 half-sample
+    * of the fingerprints (the x71 idiom): the pigeonhole argument is
+    * per-pair, so a sampled certificate is a legitimate audit — and the
+    * quadratic brute side was the whole 4.5 s of the full-corpus check
+    * (r8 verdict #6) while the BANDED side, which is the production
+    * plan, still runs over the full corpus. `found_pairs` additionally
+    * guards the sampled side against vacuity (sampling that dropped
+    * every in-radius pair would certify nothing).
     */
   def simhashCharGramComplete(docs: DataFrame, maxHamming: Int = 3,
       chunks: Int = 8): DataFrame =
     simhashBandedCompleteFromFps(
-      simhashFingerprintsFromUnits(charGramUnits(docs)), maxHamming, chunks)
+      simhashFingerprintsFromUnits(charGramUnits(docs)), maxHamming, chunks,
+      bruteSampleHexLt = Some("80"))
 
+  /** @param bruteSampleHexLt when set, the quadratic brute-force audit
+    *   side is restricted to fingerprints whose md5(doc_id) 2-hex prefix
+    *   is below this bound (deterministic, content-derived — task retries
+    *   and engines resample identically); the banded side always covers
+    *   the full corpus.
+    */
   private def simhashBandedCompleteFromFps(fps0: DataFrame, maxHamming: Int,
-      chunks: Int): DataFrame = {
+      chunks: Int, bruteSampleHexLt: Option[String] = None): DataFrame = {
     val fps = fps0.localCheckpoint()
     val banded = simhashBandedPairs(fps, maxHamming, chunks)
-    val brute = fps.as("x").join(fps.as("y"),
+    val bfps = bruteSampleHexLt.fold(fps)(bound => fps.filter(
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < bound))
+    val brute = bfps.as("x").join(bfps.as("y"),
         col("x.doc_id") < col("y.doc_id") &&
           bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= maxHamming)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
     val missing = brute.join(banded, Seq("a", "b"), "left_anti")
-    banded.agg(count(lit(1)).as("n_banded")).crossJoin(
-        missing.agg(count(lit(1)).as("n_missing")))
+    banded.agg(count(lit(1)).as("n_banded"))
+      .crossJoin(missing.agg(count(lit(1)).as("n_missing")))
+      .crossJoin(brute.agg(count(lit(1)).as("n_brute")))
       .select((col("n_missing") === 0).as("banded_complete"),
-        (col("n_banded") > 0).as("found_pairs"))
+        (col("n_banded") > 0 && col("n_brute") > 0).as("found_pairs"))
   }
 
   /** Ascending-index double dot product — the accumulation order DuckDB's

@@ -22,6 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** The certified ANN configuration — ONE set of constants feeds both the
+    * Spark paths and every generated DuckDB oracle below, so a re-tuned
+    * invocation cannot silently diverge from the oracle while still looking
+    * "hash-gated" (the r8 advisory): the recall entry points take no
+    * config parameters, and the SQL is interpolated from these same values.
+    */
+  private[operators] object RecallCert {
+    val probeSet = 8L // certified probe queries: vec_id < probeSet
+    val k = 10
+    val planes = 16
+    val bands = 4
+    val bandBits: Int = planes / bands
+    val mask: Int = (1 << bandBits) - 1
+  }
+
   private def toDouble(c: Column): Column =
     transform(c, (x: Column) => x.cast("double"))
 
@@ -272,28 +287,79 @@ object Similarity {
     * extra exact pass over the corpus, which an offline eval pays by
     * design.
     */
-  def annRecallBanded(spark: SparkSession, emb: DataFrame,
-      maxQueryId: Long = 8L, k: Int = 10, planes: Int = 16,
-      bands: Int = 4): DataFrame = {
+  def annRecallBanded(spark: SparkSession, emb: DataFrame): DataFrame = {
+    import RecallCert.{probeSet, k}
+    val exact = batchCosineTopK(emb, probeSet, k).select("qid", "vec_id")
+    exact.join(recallHits(spark, emb, multiprobe = false),
+        Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        expr(s"CAST(n_hits * 10000 DIV $k AS BIGINT)").as("recall_per_10k"))
+      .orderBy("qid")
+  }
+
+  /** Top-k LSH answers for the certified probe set, as (qid, vec_id, hit)
+    * rows — the shared kernel of [[annRecallBanded]] and [[annRecallLift]].
+    * `multiprobe=false` routes by exact band match (the x81 structure);
+    * `multiprobe=true` expands each query band to its 1-bit neighbor
+    * buckets (the x138 structure) — candidate sets are supersets of the
+    * single-probe ones by construction.
+    */
+  private def recallHits(spark: SparkSession, emb: DataFrame,
+      multiprobe: Boolean): DataFrame = {
+    import RecallCert.{probeSet, k, planes, bands, bandBits}
     graft.functions.GraftFunctions.register(spark)
     val banded = bandedSigs(hyperplaneSigs(spark, emb, planes), planes, bands)
-    val qBands = banded.filter(col("vec_id") < maxQueryId)
+    val qExact = banded.filter(col("vec_id") < probeSet)
       .select(col("vec_id").as("qid"), col("band"), col("bv"),
         col("e").as("q"))
+    val qBands =
+      if (!multiprobe) qExact
+      else qExact.select(col("qid"), col("band"),
+        explode(array(col("bv") +:
+          (0 until bandBits).map(i => col("bv").bitwiseXOR(lit(1 << i))): _*))
+          .as("bv"),
+        col("q"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(desc("cos_sim"), asc("vec_id"))
-    val lsh = banded.join(broadcast(qBands), Seq("band", "bv"))
+    banded.join(broadcast(qBands), Seq("band", "bv"))
       .dropDuplicates("qid", "vec_id") // a row can match on several bands
       .select(col("qid"), col("vec_id"),
         round(cosine(col("e"), col("q")), 6).as("cos_sim"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"), lit(1).as("hit"))
-    val exact = batchCosineTopK(emb, maxQueryId, k).select("qid", "vec_id")
-    exact.join(lsh, Seq("qid", "vec_id"), "left")
+  }
+
+  /** x161: recall LIFT certification — single-probe (x81's route) and
+    * multiprobe (x138's route) recall@k side by side, per probe query,
+    * against the exact top-k. The multiprobe candidate set is a superset
+    * of the single-probe one, and any exact-top-k member present in a
+    * candidate set survives its re-ranked top-k (at most k-1 items can
+    * outscore it), so `n_hits_multi >= n_hits_single` holds structurally;
+    * the measured LIFT per query is what the oracle hash-gates
+    * ([[graft.operators]] spec additionally asserts the inequality and a
+    * strict gain on the probe set). Same one-pass index + broadcast-probe
+    * shape as x160 — the certification costs one extra probe join, not an
+    * extra corpus scan.
+    */
+  def annRecallLift(spark: SparkSession, emb: DataFrame): DataFrame = {
+    import RecallCert.{probeSet, k}
+    val exact = batchCosineTopK(emb, probeSet, k).select("qid", "vec_id")
+    val single = recallHits(spark, emb, multiprobe = false)
+      .withColumnRenamed("hit", "hit_s")
+    val multi = recallHits(spark, emb, multiprobe = true)
+      .withColumnRenamed("hit", "hit_m")
+    exact.join(single, Seq("qid", "vec_id"), "left")
+      .join(multi, Seq("qid", "vec_id"), "left")
       .groupBy("qid")
-      .agg(count(col("hit")).as("n_hits"))
-      .select(col("qid"), col("n_hits"),
-        expr(s"CAST(n_hits * 10000 DIV $k AS BIGINT)").as("recall_per_10k"))
+      .agg(count(col("hit_s")).as("n_hits_single"),
+        count(col("hit_m")).as("n_hits_multi"))
+      .select(col("qid"), col("n_hits_single"), col("n_hits_multi"),
+        expr(s"CAST(n_hits_single * 10000 DIV $k AS BIGINT)")
+          .as("recall_single_per_10k"),
+        expr(s"CAST(n_hits_multi * 10000 DIV $k AS BIGINT)")
+          .as("recall_multi_per_10k"))
       .orderBy("qid")
   }
 
@@ -479,7 +545,7 @@ object Similarity {
     */
   private def sigCtesSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       | ${planesSql(planes = 16, dim = 64)}""".stripMargin
+       | ${planesSql(planes = RecallCert.planes, dim = 64)}""".stripMargin
 
   private val annTopKSql =
     s"""$sigCtesSql,
@@ -493,12 +559,21 @@ object Similarity {
        |WHERE bit_count(xor(sg.sig, q.qsig)) <= 8
        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
 
-  // bands=4 × 4 bits: a candidate shares at least one exact band with the
-  // query — the OR of the four masked band comparisons. ONE definition,
-  // shared by x81's answer oracle and x160's recall certification of the
-  // same candidate structure.
-  private val bandEq = (0 until 4).map(b =>
-    s"((sg.sig >> ${b * 4}) & 15) = ((q.qsig >> ${b * 4}) & 15)")
+  // bands × bandBits from RecallCert: a candidate shares at least one exact
+  // band with the query — the OR of the masked band comparisons. ONE
+  // definition, shared by x81's answer oracle and the x160/x161 recall
+  // certifications of the same candidate structure.
+  private val bandEq = (0 until RecallCert.bands).map(b =>
+    s"((sg.sig >> ${b * RecallCert.bandBits}) & ${RecallCert.mask})" +
+      s" = ((q.qsig >> ${b * RecallCert.bandBits}) & ${RecallCert.mask})")
+    .mkString("(", " OR ", ")")
+
+  // multiprobe: some band within hamming distance 1 of the query's band
+  // value — x138's candidate definition, shared by its answer oracle and
+  // x161's lift certification.
+  private val bandNear = (0 until RecallCert.bands).map(b =>
+    s"bit_count(xor((sg.sig >> ${b * RecallCert.bandBits}) & ${RecallCert.mask}," +
+      s" (q.qsig >> ${b * RecallCert.bandBits}) & ${RecallCert.mask})) <= 1")
     .mkString("(", " OR ", ")")
 
   private val annBandedSql = {
@@ -514,36 +589,61 @@ object Similarity {
        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
   }
 
-  // Recall@10 of the banded route vs exact, probe set vec_id < 8. The
-  // candidate CTE is x81's band-equality OR (shared `bandEq`) with a
-  // query SET; the exact side is x89's ranked CTE; one ranked-cosine
-  // builder feeds both so rounding/tie-break edits hit both sides or
-  // neither. The tail counts per-query intersections.
-  private val annRecallSql = {
-    // per-(qid) ranked cosine over `e × q` rows from `from` — the shared
-    // scoring kernel of the lsh and exact CTEs.
-    def ranked(from: String): String =
-      s"""SELECT qid, vec_id FROM (
-         |     SELECT q.qid, e.vec_id,
-         |            row_number() OVER (PARTITION BY q.qid ORDER BY
-         |              round(list_dot_product(e.v, q.qv)
-         |                / (sqrt(list_dot_product(e.v, e.v))
-         |                 * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
-         |              e.vec_id ASC) AS rn
-         |     FROM $from) c
-         |   WHERE rn <= 10""".stripMargin
+  // per-(qid) ranked-cosine top-k over `e × q` rows from `from` — the
+  // shared scoring kernel of the lsh and exact recall CTEs. k comes from
+  // RecallCert so both sides move with the Spark path.
+  private def rankedTopK(from: String): String =
+    s"""SELECT qid, vec_id FROM (
+       |     SELECT q.qid, e.vec_id,
+       |            row_number() OVER (PARTITION BY q.qid ORDER BY
+       |              round(list_dot_product(e.v, q.qv)
+       |                / (sqrt(list_dot_product(e.v, e.v))
+       |                 * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+       |              e.vec_id ASC) AS rn
+       |     FROM $from) c
+       |   WHERE rn <= ${RecallCert.k}""".stripMargin
+
+  // probe-set + exact-top-k CTE head shared by x160 and x161: every
+  // constant (probe set bound, k, planes, bands) interpolates from
+  // RecallCert — the same values the Spark entry points are fixed to.
+  private def recallCtesSql: String =
     s"""$sigCtesSql,
        | q AS (SELECT sg.vec_id AS qid, sg.sig AS qsig, e.v AS qv
-       |       FROM e JOIN sg USING (vec_id) WHERE sg.vec_id < 8),
-       | lsh AS (
-       |   ${ranked(s"e JOIN sg USING (vec_id), q WHERE $bandEq")}),
+       |       FROM e JOIN sg USING (vec_id) WHERE sg.vec_id < ${RecallCert.probeSet}),
        | ex AS (
-       |   ${ranked("e, q")})
+       |   ${rankedTopK("e, q")})""".stripMargin
+
+  // Recall@k of the banded route vs exact over the certified probe set.
+  // The candidate CTE is x81's band-equality OR (shared `bandEq`); the
+  // exact side is x89's ranked CTE; one ranked-cosine builder feeds both
+  // so rounding/tie-break edits hit both sides or neither. The tail
+  // counts per-query intersections.
+  private val annRecallSql =
+    s"""$recallCtesSql,
+       | lsh AS (
+       |   ${rankedTopK(s"e JOIN sg USING (vec_id), q WHERE $bandEq")})
        |SELECT ex.qid, CAST(count(lsh.vec_id) AS BIGINT) AS n_hits,
-       |       CAST(count(lsh.vec_id) * 10000 // 10 AS BIGINT) AS recall_per_10k
+       |       CAST(count(lsh.vec_id) * 10000 // ${RecallCert.k} AS BIGINT) AS recall_per_10k
        |FROM ex LEFT JOIN lsh USING (qid, vec_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
-  }
+
+  // x161: the same structure with BOTH candidate definitions (bandEq and
+  // bandNear) ranked side by side — the lift of multiprobe over
+  // single-probe, hash-gated per query row.
+  private val annRecallLiftSql =
+    s"""$recallCtesSql,
+       | lshs AS (
+       |   ${rankedTopK(s"e JOIN sg USING (vec_id), q WHERE $bandEq")}),
+       | lshm AS (
+       |   ${rankedTopK(s"e JOIN sg USING (vec_id), q WHERE $bandNear")})
+       |SELECT ex.qid,
+       |       CAST(count(lshs.vec_id) AS BIGINT) AS n_hits_single,
+       |       CAST(count(lshm.vec_id) AS BIGINT) AS n_hits_multi,
+       |       CAST(count(lshs.vec_id) * 10000 // ${RecallCert.k} AS BIGINT) AS recall_single_per_10k,
+       |       CAST(count(lshm.vec_id) * 10000 // ${RecallCert.k} AS BIGINT) AS recall_multi_per_10k
+       |FROM ex LEFT JOIN lshs USING (qid, vec_id)
+       |        LEFT JOIN lshm USING (qid, vec_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Seq[QueryDef] = Seq(
     // Q18 of SURVEY §2.C: exact brute-force cosine top-10 for vec_id=0.
@@ -577,7 +677,8 @@ object Similarity {
     // rank-1 self-recall and recall vs the exact top-k.
     QueryDef(
       "x81_ann_banded",
-      (s, dir) => annTopKBanded(s, Tables.embeddings(s, dir), 0L, 10),
+      (s, dir) => annTopKBanded(s, Tables.embeddings(s, dir), 0L,
+        RecallCert.k, RecallCert.planes, RecallCert.bands),
       Some(annBandedSql)),
 
     // Multi-probe expansion of x81: query probes each band's bucket AND
@@ -586,11 +687,9 @@ object Similarity {
     // equi-join; oracle re-ranks the exact candidate-set definition.
     QueryDef(
       "x138_ann_multiprobe",
-      (s, dir) => annTopKMultiprobe(s, Tables.embeddings(s, dir), 0L, 10),
-      Some {
-        val bandNear = (0 until 4).map(b =>
-          s"bit_count(xor((sg.sig >> ${b * 4}) & 15, (q.qsig >> ${b * 4}) & 15)) <= 1")
-          .mkString("(", " OR ", ")")
+      (s, dir) => annTopKMultiprobe(s, Tables.embeddings(s, dir), 0L,
+        RecallCert.k, RecallCert.planes, RecallCert.bands),
+      Some(
         s"""$sigCtesSql,
            | q AS (SELECT e.v AS qv, sg.sig AS qsig
            |       FROM e JOIN sg USING (vec_id) WHERE vec_id = 0)
@@ -600,8 +699,7 @@ object Similarity {
            |          * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
            |FROM e JOIN sg USING (vec_id), q
            |WHERE $bandNear
-           |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
-      }),
+           |ORDER BY cos_sim DESC, vec_id ASC LIMIT ${RecallCert.k}""".stripMargin)),
 
     // Batched exact retrieval (5 probes, top-3 each) — one corpus pass
     // for the whole probe set; WindowGroupLimit prunes before the
@@ -631,6 +729,17 @@ object Similarity {
       "x160_ann_recall",
       (s, dir) => annRecallBanded(s, Tables.embeddings(s, dir)),
       Some(annRecallSql)),
+
+    // Recall LIFT certification: single-probe vs multiprobe recall@k per
+    // probe query, both candidate definitions replayed in DuckDB — the
+    // measured gap x138's multiprobe route exists to close, now
+    // hash-gated instead of quoted. The spec asserts the structural
+    // n_hits_multi >= n_hits_single on every row and a strict gain on
+    // the probe set.
+    QueryDef(
+      "x161_ann_recall_lift",
+      (s, dir) => annRecallLift(s, Tables.embeddings(s, dir)),
+      Some(annRecallLiftSql)),
 
     // The int8 quantization is engine-specific, but the exact re-rank of
     // the top-50 candidates makes the final top-10 EQUAL the brute-force

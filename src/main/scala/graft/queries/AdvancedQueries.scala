@@ -21,7 +21,7 @@ object AdvancedQueries {
   /** events + integer-µs event time, the shared base. */
   private def eventsUs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).withColumn("us",
-      expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+      graft.functions.TimeCols.ntzEpochMicros("ts"))
 
   private val eventsUsSql =
     "SELECT *, epoch_us(ts) AS us FROM events"

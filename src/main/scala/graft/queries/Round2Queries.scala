@@ -21,7 +21,7 @@ object Round2Queries {
 
   private def eventsUs(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).withColumn("us",
-      expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+      graft.functions.TimeCols.ntzEpochMicros("ts"))
 
   private val eventsUsSql =
     "SELECT *, epoch_us(ts) AS us FROM events"
@@ -60,11 +60,13 @@ object Round2Queries {
       (s, dir) =>
         Tables.events(s, dir)
           .groupBy(col("user_id"),
-            session_window(expr("CAST(ts AS TIMESTAMP)"), "30 minutes").as("sw"))
+            // session_window over NTZ directly: buckets computed on the
+            // tz-free local micros, so a non-UTC session can't shift them.
+            session_window(col("ts"), "30 minutes").as("sw"))
           .agg(count(lit(1)).as("n_events"))
           .select(col("user_id"),
-            expr("unix_micros(sw.start)").as("start_us"),
-            expr("unix_micros(sw.end)").as("end_us"),
+            graft.functions.TimeCols.ntzEpochMicros("sw.start").as("start_us"),
+            graft.functions.TimeCols.ntzEpochMicros("sw.end").as("end_us"),
             col("n_events"))
           .orderBy("user_id", "start_us"),
       Some(s"""SELECT user_id, min(us) AS start_us,

@@ -263,10 +263,12 @@ object Round3Queries {
       "x48_sliding_window",
       (s, dir) =>
         Tables.events(s, dir)
-          .groupBy(window(expr("CAST(ts AS TIMESTAMP)"), "1 hour", "30 minutes").as("w"),
+          // window over NTZ directly: tz-free bucket alignment (a CAST to
+          // TIMESTAMP here would shift buckets by the session offset).
+          .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
             col("event_type"))
           .agg(count(lit(1)).as("c"))
-          .select(expr("unix_micros(w.start)").as("start_us"),
+          .select(graft.functions.TimeCols.ntzEpochMicros("w.start").as("start_us"),
             col("event_type"), col("c"))
           .orderBy("start_us", "event_type"),
       Some("""SELECT epoch_us(ws) AS start_us, event_type, count(*) AS c
@@ -369,7 +371,7 @@ object Round3Queries {
           .orderBy(col("us"), col("event_id"))
           .rowsBetween(-3, 0)
         Tables.events(s, dir)
-          .withColumn("us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+          .withColumn("us", graft.functions.TimeCols.ntzEpochMicros("ts"))
           .select(col("event_id"),
             (sum(col("value").cast("decimal(18,6)")).over(w).cast("double")
               / count(lit(1)).over(w)).as("mavg"))
@@ -495,7 +497,7 @@ object Round3Queries {
           .partitionBy("user_id", "event_type")
           .orderBy(col("us").desc, col("event_id").desc)
         Tables.events(s, dir)
-          .withColumn("us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+          .withColumn("us", graft.functions.TimeCols.ntzEpochMicros("ts"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select("user_id", "event_type", "event_id", "us")

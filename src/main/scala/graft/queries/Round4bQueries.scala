@@ -255,7 +255,7 @@ object Round4bQueries {
           .orderBy(col("tsu"))
           .rangeBetween(-3600000000L, 0L)
         Tables.events(s, dir)
-          .withColumn("tsu", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+          .withColumn("tsu", graft.functions.TimeCols.ntzEpochMicros("ts"))
           .select(col("event_id"), col("user_id"),
             count(lit(1)).over(w).as("n_1h"),
             round(sum(col("value").cast("decimal(18,6)")).over(w)

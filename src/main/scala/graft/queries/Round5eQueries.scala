@@ -167,9 +167,11 @@ object Round5eQueries {
     // rendered as per-bucket user SETS, then a range-frame union
     // (flatten + array_distinct) over the trailing 3 hourly buckets.
     // Distinctness doesn't decompose into per-bucket counts, so the sets
-    // are the minimal carried state — the same shape a 100 TB run uses,
-    // with sets swapped for HLL sketches when the per-bucket user count
-    // itself is cluster-sized (x16's approx twin). The range frame is on
+    // are the minimal carried state for the EXACT answer. When the
+    // per-bucket user count itself is cluster-sized, the shipped swap is
+    // x164_window_distinct_hll (Round9Queries): same window shape with
+    // per-bucket HLL sketches + hll_union_agg over the frame — O(1)
+    // state per bucket, error-band-certified. The range frame is on
     // the hour INDEX, so calendar gaps are handled (rowsBetween would
     // silently span them). Oracle: DuckDB's native count(DISTINCT) via
     // correlated interval subqueries.

@@ -1,0 +1,104 @@
+package graft
+
+/** Invariant anchors for the round-9 changes (incl. the r8 advisory
+  * fixes: each test pins the edge case the fix exists for).
+  */
+class Round9Spec extends SparkSuite {
+
+  test("TimeCols.ntzEpochMicros is session-timezone independent") {
+    // The stagers and eventsUs bases normalize NTZ event time to epoch
+    // micros through TimeCols; the previous CAST-to-TIMESTAMP rendering
+    // shifted by the session offset on any non-UTC session. Prove the
+    // helper reads the NTZ wall time as UTC on BOTH sessions.
+    val utc = Tables.events(spark, sfDir)
+      .select(graft.functions.TimeCols.ntzEpochMicros("ts").as("us"))
+      .agg(org.apache.spark.sql.functions.min("us"),
+        org.apache.spark.sql.functions.max("us")).head()
+    val tokyo = spark.newSession()
+    tokyo.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    val jst = Tables.events(tokyo, sfDir)
+      .select(graft.functions.TimeCols.ntzEpochMicros("ts").as("us"))
+      .agg(org.apache.spark.sql.functions.min("us"),
+        org.apache.spark.sql.functions.max("us")).head()
+    assert(utc == jst, s"session tz leaked into ntzEpochMicros: $utc vs $jst")
+    // and the value really is the UTC interpretation, not merely stable:
+    val probe = spark.sql(
+      "SELECT " + graft.functions.TimeCols.ntzEpochMicrosExpr(
+        "TIMESTAMP_NTZ'2024-03-15 12:34:56.789012'")).head().getLong(0)
+    assert(probe == 1710506096789012L)
+  }
+
+  test("x30/x48 window bucketing is session-timezone independent") {
+    // NTZ-native session_window/window: a Tokyo session must produce the
+    // identical bucket table (the old CAST path shifted starts by 9h and,
+    // for non-whole-hour offsets, realigned sliding buckets entirely).
+    val tokyo = spark.newSession()
+    tokyo.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    for (q <- Seq("x30_session_window", "x48_sliding_window")) {
+      val a = SparkEntry.queries(q)(spark, sfDir).collect().toSeq
+      val b = SparkEntry.queries(q)(tokyo, sfDir).collect().toSeq
+      assert(a == b, s"$q drifted on a non-UTC session")
+    }
+  }
+
+  test("events loader rejects an unrecognized ts encoding loudly") {
+    // The former catch-all routed anything non-timestamp to the legacy
+    // nanos DIV-1000 branch — a future plain-INT64 micros file would
+    // silently shrink every timestamp 1000×. Now: descriptive failure.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_r9_enc")
+    try {
+      Tables.events(spark, sfDir).limit(10)
+        .withColumn("ts", org.apache.spark.sql.functions
+          .col("ts").cast("string"))
+        .write.parquet(s"$tmp/events.parquet")
+      val e = intercept[IllegalStateException] {
+        Tables.events(spark, tmp.toString).collect()
+      }
+      assert(e.getMessage.contains("unrecognized encoding"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(tmp)
+      try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally s.close()
+    }
+  }
+
+  test("x157 sink is per-run unique and cleaned up") {
+    // The previous keyed delete-then-repopulate store let concurrent
+    // invocations delete each other's lines mid-run; now each call stages
+    // into a UUID directory removed in the finally — repeated calls agree
+    // and leave no graft_x157_lines_* residue behind.
+    def sinkDirs(): Set[String] = {
+      val tmpdir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(tmpdir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("graft_x157_lines_")).toSet
+      finally s.close()
+    }
+    val before = sinkDirs()
+    val a = SparkEntry.queries("x157_stream_boilerplate")(spark, sfDir)
+      .collect().toSeq.sortBy(_.toString)
+    val b = SparkEntry.queries("x157_stream_boilerplate")(spark, sfDir)
+      .collect().toSeq.sortBy(_.toString)
+    assert(a == b, "repeated x157 invocations disagree")
+    assert(sinkDirs() == before, "x157 left line-store residue in tmpdir")
+  }
+
+  test("x161: multiprobe recall dominates single-probe, strictly on this fixture") {
+    val rows = SparkEntry.queries("x161_ann_recall_lift")(spark, sfDir)
+      .collect()
+    assert(rows.length == 8, "one row per certified probe query")
+    rows.foreach { r =>
+      val s = r.getAs[Long]("n_hits_single")
+      val m = r.getAs[Long]("n_hits_multi")
+      // structural: the multiprobe candidate set is a superset, and an
+      // exact-top-k member in a candidate set always survives its
+      // re-ranked top-k (at most k-1 items can outscore it).
+      assert(m >= s, s"qid=${r.getAs[Long]("qid")}: multi $m < single $s")
+      // measured on this fixture: the 1-bit probe expansion buys recall
+      // on EVERY probe query (the gap x160 quantified).
+      assert(m > s, s"qid=${r.getAs[Long]("qid")}: no strict lift ($s -> $m)")
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+/** Mechanized "would it survive 100×" gate (r8 verdict #5): the tri-SF
+  * sweep existed as PERF.md prose; this spec MEASURES the sf0.01→sf0.1
+  * wall-clock slope for the dedup/ANN/graph family on every `sbt test`
+  * and fails when any member goes superlinear in the data growth.
+  *
+  * The data grows 10× between the two SFs, so a plan whose cost is
+  * linear-ish in the input (band-key equi-joins, prefix filters,
+  * cluster-bounded scans — the shapes these queries claim) must stay at
+  * slope ≈ 10 or below; an accidental all-pairs/cross term shows up as
+  * slope ≈ 100 long before anyone reads a PERF table. The gate allows
+  * 3× headroom over linear (slope ≤ 30) because small-SF times carry
+  * fixed per-query overheads (plan compile, localCheckpoint setup) that
+  * DEFLATE the denominator — a margin violation therefore signals a
+  * genuine quadratic term, not timer noise. Times are min-of-2 after a
+  * shared warmup, the Bench idiom.
+  */
+class ScalingSlopeSpec extends SparkSuite {
+
+  private val family = Seq(
+    "x02_ngram_jaccard", "x03_minhash_lsh", "x128_ppjoin",
+    "x137_incremental_dedup", "x152_triangles")
+
+  private def timeOnce(name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir)
+      .write.mode("overwrite").format("noop").save()
+    val dt = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    dt
+  }
+
+  test("dedup/ANN/graph family scales sublinearly-with-margin from sf0.01 to sf0.1") {
+    val lo = "/root/testdata/sf0.01"
+    val hi = "/root/testdata/sf0.1"
+    val slopes = family.map { q =>
+      timeOnce(q, lo) // warmup (JIT + codegen caches, both plans compiled)
+      val tLo = math.min(timeOnce(q, lo), timeOnce(q, lo))
+      val tHi = math.min(timeOnce(q, hi), timeOnce(q, hi))
+      // Clamp the denominator at 0.2 s: below that the measurement is
+      // dominated by fixed overhead and the ratio is meaningless noise.
+      val slope = tHi / math.max(tLo, 0.2)
+      info(f"$q%-24s sf0.01=$tLo%5.2fs  sf0.1=$tHi%5.2fs  slope=$slope%5.1f×")
+      (q, tLo, tHi, slope)
+    }
+    slopes.foreach { case (q, tLo, tHi, slope) =>
+      assert(slope <= 30.0,
+        s"$q went superlinear: sf0.01=$tLo s -> sf0.1=$tHi s " +
+          s"(slope $slope× > 30× gate; 10× data growth)")
+    }
+  }
+}
