@@ -69,9 +69,18 @@ object Bench {
       val digits = id.tail.dropWhile(_ == '0')
       s"${id.head}${if (digits.isEmpty) "0" else digits}"
     }
+    // Stdout-line id: the x prefix carries no information ("165" can only
+    // be x165 — q-ids keep their q), and dropping it buys ~165 bytes of
+    // the 1910-byte stdout budget — the difference between a complete
+    // 187-query map and an elided one. q-ids keep the prefix so the
+    // driver-contract example key "q1" stays literal.
+    def outId(k: String): String = {
+      val s = sid(k)
+      if (s.head == 'x') s.tail else s
+    }
     // Two queries may never collapse onto one short id ("x05" and a future
     // "x5" would silently merge their timings in the JSON map).
-    require(results.map(r => sid(r._1)).distinct.size == results.size,
+    require(results.map(r => outId(r._1)).distinct.size == results.size,
       "zero-stripped bench ids must be unique")
 
     // --- self-adjudication: any query that drifted >1.5x vs the PRIOR
@@ -95,7 +104,9 @@ object Bench {
         // Value may be integral ("x152":7) since the .0-stripping change —
         // the decimal part is optional or the whole-decisecond entries
         // vanish from next round's drift adjudication.
-        val pairRe = """\\?"([qx]\d+)\\?":(\d+(?:\.\d+)?)""".r
+        // Accepts both the pre-r9 x-prefixed ids and the bare-digit ids
+        // the stdout line now carries.
+        val pairRe = """\\?"([qx]?\d+)\\?":(\d+(?:\.\d+)?)""".r
         pairRe.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap // last wins
       }.getOrElse(Map.empty)
@@ -112,7 +123,7 @@ object Bench {
     val isolated: Seq[(String, Double)] =
       if (only.nonEmpty) Seq.empty // isolation experiments: skip adjudication
       else results.flatMap { case (n, v) =>
-        val drifted = priorTimes.get(sid(n)) match {
+        val drifted = priorTimes.get(outId(n)).orElse(priorTimes.get(sid(n))) match {
           case Some(p) => p >= 0.05 && v > 1.5 * p && v - p > 0.1
           case None => false
         }
@@ -141,11 +152,11 @@ object Bench {
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     def shortLine(rs: Seq[(String, Double)], note: String,
         withIso: Boolean): String = {
-      val qs = rs.map { case (k, v) => "\"" + sid(k) + "\":" + cs(v) }
+      val qs = rs.map { case (k, v) => "\"" + outId(k) + "\":" + cs(v) }
         .mkString("{", ",", "}")
       val iso =
         if (!withIso || isolated.isEmpty) ""
-        else isolated.map { case (k, v) => "\"" + sid(k) + "\":" + cs(v) }
+        else isolated.map { case (k, v) => "\"" + outId(k) + "\":" + cs(v) }
           .mkString(""","isolated":{""", ",", "}")
       // sf shortened to its basename ("sf0.1") — the full path cost 18
       // tail chars for zero information; total at decisecond precision

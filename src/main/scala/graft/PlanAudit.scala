@@ -228,6 +228,17 @@ object PlanAudit {
     check("x153_source_drift", "vocabulary broadcast to the per-source grid",
       p => p.contains("BroadcastExchange"))
 
+    // ---- round-9: exact-substring spans + PQ-ADC ------------------------
+    check("x165_exact_substring_spans",
+      "gram-hash hot filter is partial+final (map-side combine)",
+      p => "HashAggregate".r.findAllIn(p).length >= 2)
+    check("x165_exact_substring_spans", "no all-pairs scan anywhere",
+      p => !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    check("x166_ann_pq_recall", "all 4 ADC lookup tables broadcast",
+      p => "BroadcastHashJoin".r.findAllIn(p).length >= 4)
+    check("x166_ann_pq_recall", "per-query rank pushed down as WindowGroupLimit",
+      _.contains("WindowGroupLimit"))
+
     // ---- round-7: the two r6-verdict scale sores, now window-free -------
     check("x151_rfm", "sampled cutpoints broadcast; NO window anywhere",
       p => p.contains("BroadcastExchange") && !p.contains("Window"))

@@ -1,11 +1,105 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.operators.TextOps
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-9 queries: the r8 verdict's documented-but-unshipped scale swaps.
+/** Round-9 queries: the r8 verdict's documented-but-unshipped scale swaps,
+  * plus cross-document exact-substring span dedup (the ExactSubstr half of
+  * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  * Better" — the reference has no text operators at all, SURVEY §2.B).
   */
 object Round9Queries {
+
+  /** Token k-grams WITH positions — [[TextOps.shingles]] keeps only the
+    * distinct shingle set; span detection needs every occurrence site.
+    * Positions are 1-based to match DuckDB's generate_subscripts.
+    * Same NULL-propagating concat so trailing partial grams drop.
+    */
+  private def positionedGrams(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val parts = (0 until k).map {
+      case 0 => col("w")
+      case i => lead(col("w"), i).over(win)
+    }
+    val glued = parts.reduce((a, b) => concat(a, lit(" "), b))
+    TextOps.tokens(docs)
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), glued.as("gram"))
+      .filter(col("gram").isNotNull)
+  }
+
+  /** x165: cross-document exact-substring spans — for every doc, the
+    * maximal token ranges whose every k-gram (k=8) also appears verbatim
+    * in at least one OTHER document. Lee et al. build a suffix array over
+    * the concatenated corpus (single-node, memory-bound); the relational
+    * rendering is a gram-hash inverted index: positioned k-grams →
+    * group by md5(gram) keeping hashes spanning ≥2 docs → flag the
+    * occurrence sites → merge flagged starts into maximal spans with a
+    * per-doc gaps-and-islands window (a new span begins when the next
+    * flagged start is > k past the previous one, i.e. coverage breaks).
+    *
+    * Scale: the only corpus-wide shuffle partitions by gram hash —
+    * uniform keys, partial-aggregated map-side; the island windows
+    * partition by doc_id with doc-length-bounded state. Production
+    * would group on xxhash64(gram) (8 bytes, no parity twin in DuckDB);
+    * md5 here keeps the oracle bit-identical. The df≥2 back-join fans
+    * out exactly the flagged sites — output-bounded by construction.
+    */
+  private def exactSubstringSpans(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val k = 8
+    val g = positionedGrams(Tables.documents(s, dir), k)
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("gh"))
+    val hot = g.groupBy("gh")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gh")
+    val flagged = g.join(hot, "gh").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = flagged
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1)
+          .otherwise(0))
+      .withColumn("isl",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    spans.groupBy("doc_id", "isl")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (k - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("dup_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val exactSubstringSql = {
+    val k = 8
+    val leads = (1 until k)
+      .map(i => s"lead(w,$i) OVER win").mkString(" || ' ' || ")
+    s"""WITH toks AS (${TextOps.tokensSql}),
+       | grams AS (
+       |   SELECT doc_id, pos, w || ' ' || $leads AS gram
+       |   FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       | g AS (SELECT doc_id, pos, md5(gram) AS gh FROM grams
+       |       WHERE gram IS NOT NULL),
+       | hot AS (SELECT gh FROM g GROUP BY 1
+       |         HAVING count(DISTINCT doc_id) >= 2),
+       | f AS (SELECT doc_id, pos FROM g JOIN hot USING (gh)),
+       | isl AS (
+       |   SELECT doc_id, pos,
+       |          sum(CASE WHEN prev IS NULL OR pos - prev > $k
+       |              THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |   FROM (SELECT doc_id, pos,
+       |                lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                  AS prev FROM f) l)
+       |SELECT doc_id,
+       |       CAST(min(pos) AS BIGINT) AS span_start,
+       |       CAST(max(pos) + ${k - 1} AS BIGINT) AS span_end,
+       |       CAST(max(pos) + ${k - 1} - min(pos) + 1 AS BIGINT)
+       |         AS dup_tokens
+       |FROM isl GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin
+  }
 
   val all: Seq[QueryDef] = Seq(
     // x164: the HLL swap x124 documents — windowed distinct-count with
@@ -59,6 +153,63 @@ object Round9Queries {
              |          AND e.h BETWEEN b.h - INTERVAL 2 HOUR AND b.h)
              |         AS BIGINT) AS nd3,
              |       true AS within_10pct
-             |FROM b ORDER BY 1, 2""".stripMargin))
+             |FROM b ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef("x165_exact_substring_spans", exactSubstringSpans,
+      Some(exactSubstringSql)),
+
+    // x167: takedown/right-to-be-forgotten propagation through the dedup
+    // cluster structure — the maintenance op a 100 TB corpus runs when a
+    // provider revokes licensing. Deleting a doc that is its cluster's
+    // CANONICAL silently orphans every near-dup that was dropped in its
+    // favor, so the audit re-elects: for each cluster touched by the
+    // deletion set (source ∈ banned), membership before/after, the old
+    // canonical, and the re-elected canonical (min surviving doc_id;
+    // NULL = cluster wiped, nothing to re-admit). Singleton docs have no
+    // cluster row — their deletion cascades trivially and needs no
+    // election. Reuses x43's cluster formation (LSH pairs → min-label
+    // components — provably the exact-Jaccard components on this data);
+    // the cascade itself is one groupBy over cluster_id with conditional
+    // aggregates, shuffling only the docs that appear in SOME pair.
+    QueryDef(
+      "x167_deletion_propagation",
+      (s, dir) => {
+        val docs = graft.Tables.documents(s, dir)
+        val clusters = graft.operators.Dedup.dedupClusters(
+          graft.operators.Dedup.minhashLshPairs(docs, 0.8))
+        clusters.join(docs.select("doc_id", "source"), "doc_id")
+          .withColumn("deleted", col("source").isin("src3", "src7"))
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).cast("long").as("n_before"),
+            sum(when(!col("deleted"), 1L).otherwise(0L)).cast("long")
+              .as("n_after"),
+            min(col("doc_id")).cast("long").as("old_canon"),
+            min(when(!col("deleted"), col("doc_id"))).cast("long")
+              .as("new_canon"))
+          .filter(col("n_after") < col("n_before"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE
+              | p AS (${graft.operators.Dedup.ngramJaccardPairsSql(0.8)}),
+              | edges AS (SELECT a, b FROM p
+              |           UNION ALL SELECT b AS a, a AS b FROM p),
+              | reach(src, dst) AS (
+              |   SELECT DISTINCT a AS src, a AS dst FROM edges
+              |   UNION
+              |   SELECT r.src, e.b AS dst FROM reach r
+              |   JOIN edges e ON r.dst = e.a),
+              | cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+              |        FROM reach GROUP BY 1),
+              | mem AS (SELECT cl.doc_id, cl.cluster_id,
+              |                d.source IN ('src3','src7') AS deleted
+              |         FROM cl JOIN documents d USING (doc_id))
+              |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_before,
+              |       CAST(sum(CASE WHEN NOT deleted THEN 1 ELSE 0 END)
+              |         AS BIGINT) AS n_after,
+              |       CAST(min(doc_id) AS BIGINT) AS old_canon,
+              |       CAST(min(CASE WHEN NOT deleted THEN doc_id END)
+              |         AS BIGINT) AS new_canon
+              |FROM mem GROUP BY 1 HAVING n_after < n_before
+              |ORDER BY 1""".stripMargin))
   )
 }

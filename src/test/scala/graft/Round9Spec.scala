@@ -101,4 +101,75 @@ class Round9Spec extends SparkSuite {
       assert(m > s, s"qid=${r.getAs[Long]("qid")}: no strict lift ($s -> $m)")
     }
   }
+
+  test("x165: spans are maximal (disjoint, k-separated) and textually real") {
+    val k = 8
+    val spans = SparkEntry.queries("x165_exact_substring_spans")(spark, sfDir)
+      .collect()
+    assert(spans.nonEmpty, "exact-substring fixture is vacuous")
+    spans.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_.getAs[Long]("span_start"))
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("dup_tokens") ==
+          r.getAs[Long]("span_end") - r.getAs[Long]("span_start") + 1)
+        assert(r.getAs[Long]("dup_tokens") >= k,
+          s"doc=$doc span shorter than the gram size")
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // maximality: had the gap been <= k the islands would have merged
+          assert(b.getAs[Long]("span_start") > a.getAs[Long]("span_end") + 1,
+            s"doc=$doc has mergeable adjacent spans")
+        case _ =>
+      }
+    }
+    // semantic anchor: a flagged span's first k-gram really does appear
+    // verbatim in at least one OTHER document.
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").toLowerCase)
+      .toMap
+    val probe = spans.head
+    val did = probe.getAs[Long]("doc_id")
+    val toks = docs(did).split(" ").filter(_.nonEmpty)
+    val start = probe.getAs[Long]("span_start").toInt - 1 // 1-based -> 0-based
+    val gram = toks.slice(start, start + k).mkString(" ")
+    assert(docs.exists { case (od, t) => od != did && t.contains(gram) },
+      s"span gram of doc $did not found in any other doc")
+  }
+
+  test("x166: PQ-ADC recall integers are consistent and non-vacuous") {
+    val rows = SparkEntry.queries("x166_ann_pq_recall")(spark, sfDir).collect()
+    assert(rows.length == graft.operators.ProductQuant.PQ.probeSet)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0 && h <= graft.operators.ProductQuant.PQ.topK)
+      assert(r.getAs[Long]("recall_per_10k") ==
+        h * 10000 / graft.operators.ProductQuant.PQ.topK)
+    }
+    // 4 centroids/subspace is a coarse codebook; the certification is
+    // meaningful only if ADC actually recovers part of the exact top-k.
+    assert(rows.map(_.getAs[Long]("n_hits")).sum > 0,
+      "PQ route recovered nothing — certification vacuous")
+  }
+
+  test("x167: re-election agrees with x43's cluster structure") {
+    val audit = SparkEntry.queries("x167_deletion_propagation")(spark, sfDir)
+      .collect()
+    assert(audit.nonEmpty, "deletion fixture is vacuous")
+    val clusterIds = SparkEntry.queries("x43_dedup_clusters")(spark, sfDir)
+      .collect().map(_.getAs[Long]("cluster_id")).toSet
+    audit.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      assert(clusterIds.contains(cid), s"audit row for unknown cluster $cid")
+      val before = r.getAs[Long]("n_before"); val after = r.getAs[Long]("n_after")
+      assert(after < before, "untouched cluster in the audit")
+      assert(r.getAs[Long]("old_canon") == cid,
+        "canonical is the min-label by construction")
+      if (after == 0) assert(r.isNullAt(r.fieldIndex("new_canon")),
+        "wiped cluster must have no re-elected canonical")
+      else assert(r.getAs[Long]("new_canon") >= cid,
+        "re-elected canonical precedes the old minimum")
+    }
+  }
 }
