@@ -238,6 +238,10 @@ object PlanAudit {
       p => "BroadcastHashJoin".r.findAllIn(p).length >= 4)
     check("x166_ann_pq_recall", "per-query rank pushed down as WindowGroupLimit",
       _.contains("WindowGroupLimit"))
+    check("x168_bpe_train", "per-iteration argmax is a 1-row TakeOrdered (no sort, no window)",
+      p => p.contains("TakeOrderedAndProject") && !p.contains("Window"))
+    check("x168_bpe_train", "pair counts partial+final (map-side combine)",
+      p => "HashAggregate".r.findAllIn(p).length >= 2)
 
     // ---- round-7: the two r6-verdict scale sores, now window-free -------
     check("x151_rfm", "sampled cutpoints broadcast; NO window anywhere",

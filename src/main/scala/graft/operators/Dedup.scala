@@ -319,7 +319,8 @@ object Dedup {
     * tokens of (+1 if token-hash bit i set else -1).
     */
   def simhashFingerprints(docs: DataFrame): DataFrame =
-    simhashFingerprintsFromUnits(TextOps.tokens(docs))
+    simhashFingerprintsNarrow(docs,
+      filter(split(lower(col("text")), " "), w => w =!= ""))
 
   /** Character n-gram units (doc_id, w): every `n`-char sliding window of
     * the lowercased text. The tokenization-robust feature source production
@@ -332,44 +333,59 @@ object Dedup {
     * zero units (the sequence-descending guard — Spark's `sequence(1, 0)`
     * is [1, 0], not empty).
     */
-  def charGramUnits(docs: DataFrame, n: Int = 4): DataFrame = {
-    val t = lower(col("text"))
-    docs.select(col("doc_id"),
-      explode(
-        when(length(t) >= n,
-          transform(sequence(lit(1), length(t) - (n - 1)),
-            i => t.substr(i, lit(n))))
-          .otherwise(array().cast("array<string>"))).as("w"))
+  /** The sliding-window gram array over an ALREADY-PROJECTED lowered-text
+    * attribute. `t` must be a plain column reference, not an expression:
+    * the lambda body evaluates its subtree once PER ELEMENT, so an
+    * inlined `lower(text)` re-lowercases the whole string for every gram
+    * — O(len²) per doc (measured: the whole residual 4.7 s of x158 at
+    * sf0.1; the narrow fps path dropped to ~1 s once the lowering was
+    * hoisted into its own projection).
+    */
+  def charGramArray(t: Column, n: Int = 4): Column =
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  private def withLoweredText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), lower(col("text")).as("lt"))
+
+  def charGramUnits(docs: DataFrame, n: Int = 4): DataFrame =
+    withLoweredText(docs)
+      .select(col("doc_id"), explode(charGramArray(col("lt"), n)).as("w"))
+
+  /** The 64-bit majority-vote fold (order-independent: a sum per bit). */
+  private val simhashUdf = udf { (hashes: Seq[Long]) =>
+    val acc = new Array[Int](64)
+    hashes.foreach { h =>
+      var i = 0
+      while (i < 64) { acc(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) fp |= (1L << i); i += 1 }
+    fp
   }
 
-  /** SimHash fold over arbitrary (doc_id, w) unit rows — shared by the
-    * word-token (x04) and char-gram (x158) fingerprint paths.
+  /** SimHash fold over a PER-DOC unit array — shared by the word-token
+    * (x04) and char-gram (x158) fingerprint paths.
+    *
+    * Fingerprinting is per-doc-local (hash each unit, majority-vote the
+    * bits), so it needs NO shuffle at all: hash inside `transform`, fold
+    * in one narrow projection. The previous rendering exploded units to
+    * rows and re-grouped by the same doc_id — a corpus-sized exchange
+    * (~|grams| longs) purchasing nothing; retiring it took x158's char
+    * path from 4.7 s to the cost of the scan + vote (r8 verdict #6 — the
+    * sampled brute certificate alone had not closed the gap because the
+    * fingerprint exchange, not the certificate, was the residual cost).
+    * A declarative twin (64 per-bit conditional sums) was also measured
+    * in r6 and lost to the UDF fold on CPU; with the exchange gone the
+    * comparison is moot — both are narrow now.
     */
-  private def simhashFingerprintsFromUnits(units: DataFrame): DataFrame = {
-    // Fingerprint fold kept as collect_list + UDF deliberately — a
-    // declarative twin (64 per-bit conditional sums, map-side combinable,
-    // zero UDF) was built and MEASURED SLOWER at sf0.1 (2.9 s vs 2.4 s
-    // isolated): 64 codegen'd aggregate expressions per token row cost
-    // more CPU than shuffling each doc's hash array once. On a cluster
-    // whose docs are huge (arrays larger than 64 longs) the declarative
-    // twin wins on shuffle volume — revisit then; at this shape the
-    // measured plan stays.
-    val simhashUdf = udf { (hashes: Seq[Long]) =>
-      val acc = new Array[Int](64)
-      hashes.foreach { h =>
-        var i = 0
-        while (i < 64) { acc(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
-      }
-      var fp = 0L
-      var i = 0
-      while (i < 64) { if (acc(i) > 0) fp |= (1L << i); i += 1 }
-      fp
-    }
-    units
-      .groupBy("doc_id")
-      .agg(collect_list(xxhash64(col("w"))).as("hs"))
-      .select(col("doc_id"), simhashUdf(col("hs")).as("fp"))
-  }
+  private def simhashFingerprintsNarrow(docs: DataFrame,
+      units: Column): DataFrame =
+    docs.select(col("doc_id"),
+      simhashUdf(transform(units, w => xxhash64(w))).as("fp"))
 
   /** Banded hamming pairs from precomputed fingerprints (see
     * [[simhashPairs]] for the pigeonhole argument).
@@ -430,10 +446,15 @@ object Dedup {
     * guards the sampled side against vacuity (sampling that dropped
     * every in-radius pair would certify nothing).
     */
+  /** Char-gram SimHash fingerprints (narrow, zero-shuffle). */
+  def simhashCharGramFps(docs: DataFrame): DataFrame =
+    simhashFingerprintsNarrow(withLoweredText(docs),
+      charGramArray(col("lt")))
+
   def simhashCharGramComplete(docs: DataFrame, maxHamming: Int = 3,
       chunks: Int = 8): DataFrame =
     simhashBandedCompleteFromFps(
-      simhashFingerprintsFromUnits(charGramUnits(docs)), maxHamming, chunks,
+      simhashCharGramFps(docs), maxHamming, chunks,
       bruteSampleHexLt = Some("80"))
 
   /** @param bruteSampleHexLt when set, the quadratic brute-force audit
@@ -445,13 +466,20 @@ object Dedup {
   private def simhashBandedCompleteFromFps(fps0: DataFrame, maxHamming: Int,
       chunks: Int, bruteSampleHexLt: Option[String] = None): DataFrame = {
     val fps = fps0.localCheckpoint()
-    val banded = simhashBandedPairs(fps, maxHamming, chunks)
+    // Both pair sets feed TWO consumers (the anti-join and their own
+    // count aggregate); without materialization the banded chunk
+    // self-join + DISTINCT and the quadratic brute join each run twice —
+    // measured as half of x158's residual cost after the fingerprint
+    // path went narrow. Pair sets are near-dup-sized (output-bounded),
+    // so the checkpoint is small.
+    val banded = simhashBandedPairs(fps, maxHamming, chunks).localCheckpoint()
     val bfps = bruteSampleHexLt.fold(fps)(bound => fps.filter(
       substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < bound))
     val brute = bfps.as("x").join(bfps.as("y"),
         col("x.doc_id") < col("y.doc_id") &&
           bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= maxHamming)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .localCheckpoint()
     val missing = brute.join(banded, Seq("a", "b"), "left_anti")
     banded.agg(count(lit(1)).as("n_banded"))
       .crossJoin(missing.agg(count(lit(1)).as("n_missing")))

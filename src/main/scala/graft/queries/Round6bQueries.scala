@@ -430,8 +430,16 @@ object Round6bQueries {
     * classical Ortmann/Brandes bound. Degree is one aggregate self-join —
     * deterministic, DuckDB-replayable.
     */
-  private def orientByDegree(und: org.apache.spark.sql.DataFrame)
+  private def orientByDegree(und0: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // The undirected edge set feeds THREE plan arms (both halves of the
+    // degree union + the orientation join base). Without materialization
+    // each arm re-derives it from scratch — for the co-purchase input
+    // that is the lineitem self-join + two DISTINCTs, re-run 3× (the
+    // x144 lesson; measured on the r9 skew pair, where it inverted the
+    // x162-vs-x163 adjudication by overcharging exactly the degree
+    // variant this operator exists to make cheap).
+    val und = und0.localCheckpoint()
     val deg = und.select(col("u").as("x"))
       .unionAll(und.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))

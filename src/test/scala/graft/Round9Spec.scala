@@ -153,6 +153,22 @@ class Round9Spec extends SparkSuite {
       "PQ route recovered nothing — certification vacuous")
   }
 
+  test("x168: BPE merge frequencies are non-increasing and pairs distinct") {
+    val merges = SparkEntry.queries("x168_bpe_train")(spark, sfDir).collect()
+    assert(merges.length == graft.operators.BpeTrain.iters)
+    assert(merges.map(_.getAs[Int]("it")).toSeq ==
+      (1 to graft.operators.BpeTrain.iters))
+    // BPE invariant: a pair present at iteration i+1 was a candidate (or a
+    // sub-pair of one) at iteration i, so the chosen maxima never increase.
+    val freqs = merges.map(_.getAs[Long]("freq")).toSeq
+    assert(freqs == freqs.sorted.reverse,
+      s"merge frequencies increased along the trajectory: $freqs")
+    assert(freqs.forall(_ > 0))
+    val pairs = merges.map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+    assert(pairs.distinct.length == pairs.length,
+      "the same pair was merged twice — merge did not eliminate it")
+  }
+
   test("x167: re-election agrees with x43's cluster structure") {
     val audit = SparkEntry.queries("x167_deletion_propagation")(spark, sfDir)
       .collect()
