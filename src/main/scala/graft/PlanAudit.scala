@@ -242,6 +242,10 @@ object PlanAudit {
       p => p.contains("TakeOrderedAndProject") && !p.contains("Window"))
     check("x168_bpe_train", "pair counts partial+final (map-side combine)",
       p => "HashAggregate".r.findAllIn(p).length >= 2)
+    check("x169_ann_ivfpq_recall", "ADC lookup tables + centroids broadcast",
+      p => "BroadcastHashJoin".r.findAllIn(p).length >= 4)
+    check("x169_ann_ivfpq_recall", "per-query rank pushed down as WindowGroupLimit",
+      _.contains("WindowGroupLimit"))
 
     // ---- round-7: the two r6-verdict scale sores, now window-free -------
     check("x151_rfm", "sampled cutpoints broadcast; NO window anywhere",

@@ -45,13 +45,13 @@ object ProductQuant {
   /** Squared L2 via the dot expansion — same identity KMeansLite proves
     * engine-exact.
     */
-  private def d2(a: Column, b: Column): Column =
+  private[operators] def d2(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
   /** Subvector slice of subspace `s` (1-based slice, matching DuckDB's
     * inclusive list slicing).
     */
-  private def sub(v: Column, s: Int): Column =
+  private[operators] def sub(v: Column, s: Int): Column =
     slice(v, s * PQ.subDim + 1, PQ.subDim)
 
   /** Train subspace `s`'s codebook and encode every vector: the x101
@@ -59,7 +59,7 @@ object ProductQuant {
     * the sliced subvectors. Returns (codes: vec_id, code_s) and the
     * final centroids (cid, cv) the second assignment used.
     */
-  private def trainSubspace(vecs: DataFrame, s: Int): (DataFrame, DataFrame) = {
+  private[operators] def trainSubspace(vecs: DataFrame, s: Int): (DataFrame, DataFrame) = {
     val vs = vecs.select(col("vec_id"), sub(col("v"), s).as("v"))
     val c0 = KMeansLite.initCentroids(vs, PQ.k)
     val a1 = KMeansLite.assign(vs, c0)
@@ -132,20 +132,21 @@ object ProductQuant {
   // ---------------------------------------------------------------- SQL
 
   /** Subspace slice in DuckDB's 1-based inclusive list syntax. */
-  private def subSql(v: String, s: Int): String =
+  private[operators] def subSql(v: String, s: Int): String =
     s"$v[${s * PQ.subDim + 1}:${(s + 1) * PQ.subDim}]"
 
-  private def d2Sql(a: String, b: String): String =
+  private[operators] def d2Sql(a: String, b: String): String =
     s"(list_dot_product($a, $a) - 2.0 * list_dot_product($a, $b)" +
       s" + list_dot_product($b, $b))"
 
   /** The x101 CTE chain on subspace `s` (suffix `_$s`): init → assign →
-    * decimal recompute → assign, on the sliced lists.
+    * decimal recompute → assign, on the sliced lists of source CTE `src`
+    * (x166 trains on the raw vectors `e`; x169 on the coarse residuals).
     */
-  private def subspaceCtesSql(s: Int): String = {
+  private[operators] def subspaceCtesSql(s: Int, src: String = "e"): String = {
     val es = s"es_$s"; val c0 = s"c0_$s"; val a1 = s"a1_$s"
     val c1 = s"c1_$s"; val a2 = s"a2_$s"
-    s""" $es AS (SELECT vec_id, ${subSql("v", s)} AS v FROM e),
+    s""" $es AS (SELECT vec_id, ${subSql("v", s)} AS v FROM $src),
        | $c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
        |  FROM (SELECT vec_id, v FROM $es ORDER BY vec_id LIMIT ${PQ.k})),
@@ -172,7 +173,7 @@ object ProductQuant {
   }
 
   private def pqRecallSql: String = {
-    val subs = (0 until PQ.m).map(subspaceCtesSql).mkString(",\n")
+    val subs = (0 until PQ.m).map(s => subspaceCtesSql(s)).mkString(",\n")
     val codeJoin = (1 until PQ.m)
       .foldLeft("a2_0")((acc, s) => s"$acc JOIN a2_$s USING (vec_id)")
     val lutCtes = (0 until PQ.m).map { s =>

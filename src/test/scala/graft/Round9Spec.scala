@@ -169,6 +169,22 @@ class Round9Spec extends SparkSuite {
       "the same pair was merged twice — merge did not eliminate it")
   }
 
+  test("x169: IVF-PQ recall integers are consistent and non-vacuous") {
+    val rows = SparkEntry.queries("x169_ann_ivfpq_recall")(spark, sfDir)
+      .collect()
+    assert(rows.length == graft.operators.ProductQuant.PQ.probeSet)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0 && h <= graft.operators.ProductQuant.PQ.topK)
+      assert(r.getAs[Long]("recall_per_10k") ==
+        h * 10000 / graft.operators.ProductQuant.PQ.topK)
+    }
+    // nprobe=2 of 4 cells + 4 residual codebooks must still recover part
+    // of the exact top-k or the composition certifies nothing.
+    assert(rows.map(_.getAs[Long]("n_hits")).sum > 0,
+      "IVF-PQ route recovered nothing — certification vacuous")
+  }
+
   test("x167: re-election agrees with x43's cluster structure") {
     val audit = SparkEntry.queries("x167_deletion_propagation")(spark, sfDir)
       .collect()

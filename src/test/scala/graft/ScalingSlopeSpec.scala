@@ -25,7 +25,8 @@ class ScalingSlopeSpec extends SparkSuite {
     // would surface exactly here) and the PQ pipeline (trained per
     // subspace — its only corpus-quadratic risk is the certification
     // exact side, which is probeSet-bounded, not corpus-bounded).
-    "x165_exact_substring_spans", "x166_ann_pq_recall")
+    "x165_exact_substring_spans", "x166_ann_pq_recall",
+    "x169_ann_ivfpq_recall")
 
   private def timeOnce(name: String, dir: String): Double = {
     val t0 = System.nanoTime()
