@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
   *             ─→ branch: train | holdout  (deterministic md5-prefix
   *                split — reproducible across runs, partitionings, and
   *                retries, unlike rand())
-  *             ─→ sinks: train + holdout + rejected parquet
+  *             ─→ tokenizer: BPE merges trained on the curated train
+  *                split (x168) — the pipeline's tokenizer artifact
+  *             ─→ sinks: train + holdout + rejected + merges parquet
   *
   * Every step is a declarative DataFrame transform — at 100 TB this exact
   * graph runs unchanged with the parquet paths pointed at the warehouse;
@@ -113,15 +115,25 @@ object LlmDataPipeline {
           .select("doc_id")
         deduped.join(contaminated, Seq("doc_id"), "left_anti")
       }
-      .branchingStage("curated", Seq("train", "train_for_seq", "holdout")) { df =>
+      .branchingStage("curated",
+        Seq("train", "train_for_seq", "tok_corpus", "holdout")) { df =>
         // Deterministic eval split (the x71 sampler): md5-prefix < '10'
         // ≈ 6.25% holdout, reproducible on any engine, any partitioning,
         // any retry — the property rand()-based splits cannot give. The
-        // train side is teed (one copy sinks, one feeds chunking) — each
-        // pipe has exactly one reader, as the reference requires.
+        // train side is teed (one copy sinks, one feeds chunking, one
+        // feeds tokenizer training) — each pipe has exactly one reader,
+        // as the reference requires.
         val inHoldout =
           substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "10"
-        Seq(df.filter(!inHoldout), df.filter(!inHoldout), df.filter(inHoldout))
+        Seq(df.filter(!inHoldout), df.filter(!inHoldout),
+          df.filter(!inHoldout), df.filter(inHoldout))
+      }
+      .stage("tok_corpus", "merges") { train =>
+        // Train the tokenizer on the SAME curated train split the model
+        // will see (the x168 op) — training it pre-filter would spend
+        // merge budget on boilerplate the gates remove. The merge table
+        // is the pipeline's tokenizer artifact.
+        graft.operators.BpeTrain.trainMerges(train.sparkSession, train)
       }
       .stage("train_for_seq", "sequences") { train =>
         // Chunk each curated doc into overlapping token windows (the x86
@@ -163,6 +175,8 @@ object LlmDataPipeline {
         df.orderBy("doc_id").write.mode("overwrite").parquet(s"$outDir/holdout"))
       .consumer("rejected")(df =>
         df.orderBy("doc_id").write.mode("overwrite").parquet(s"$outDir/rejected"))
+      .consumer("merges")(df =>
+        df.write.mode("overwrite").parquet(s"$outDir/merges"))
       .build()
       .fold(err => throw new IllegalStateException(err), identity)
   }
@@ -178,7 +192,8 @@ object LlmDataPipeline {
     val holdout = spark.read.parquet(s"$outDir/holdout").count()
     val rejected = spark.read.parquet(s"$outDir/rejected").count()
     val sequences = spark.read.parquet(s"$outDir/sequences").count()
-    println(f"""{"train":$train,"holdout":$holdout,"rejected":$rejected,"sequences":$sequences,"secs":$secs%.2f,"out":"$outDir"}""")
+    val merges = spark.read.parquet(s"$outDir/merges").count()
+    println(f"""{"train":$train,"holdout":$holdout,"rejected":$rejected,"sequences":$sequences,"merges":$merges,"secs":$secs%.2f,"out":"$outDir"}""")
     spark.stop()
   }
 }

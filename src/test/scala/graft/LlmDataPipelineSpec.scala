@@ -63,6 +63,12 @@ class LlmDataPipelineSpec extends SparkSuite {
       .filter(col("doc_id") >= LlmDataPipeline.benchmarkDocs &&
         col("ns") * 2 >= col("n_sh"))
     assert(leak.isEmpty)
+    // tokenizer artifact: the merge table carries the full trajectory,
+    // trained on the train split only (x168's invariants hold here too)
+    val merges = spark.read.parquet(s"$out/merges").orderBy("it").collect()
+    assert(merges.length == graft.operators.BpeTrain.iters)
+    val freqs = merges.map(_.getAs[Long]("freq")).toSeq
+    assert(freqs == freqs.sorted.reverse && freqs.forall(_ > 0))
   }
 
   test("pipeline is deterministic across runs") {
