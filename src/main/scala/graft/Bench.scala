@@ -154,9 +154,19 @@ object Bench {
         withIso: Boolean): String = {
       val qs = rs.map { case (k, v) => "\"" + outId(k) + "\":" + cs(v) }
         .mkString("{", ",", "}")
+      // Stdout carries only the INFORMATIVE isolated entries — those whose
+      // isolated time actually differs from the in-suite time (>20% and
+      // >0.5 s): an entry that merely confirms the in-suite number spends
+      // tail bytes to say nothing, and at 196 queries those bytes are what
+      // pushes the complete per-query map out of the driver's 2 KB window.
+      // The FULL isolated map is always in target/bench.json.
+      val informative = isolated.filter { case (k, v) =>
+        val suite = results.toMap.getOrElse(k, v)
+        math.abs(v - suite) > math.max(0.5, 0.2 * suite)
+      }
       val iso =
-        if (!withIso || isolated.isEmpty) ""
-        else isolated.map { case (k, v) => "\"" + outId(k) + "\":" + cs(v) }
+        if (!withIso || informative.isEmpty) ""
+        else informative.map { case (k, v) => "\"" + outId(k) + "\":" + cs(v) }
           .mkString(""","isolated":{""", ",", "}")
       // sf shortened to its basename ("sf0.1") — the full path cost 18
       // tail chars for zero information; total at decisecond precision

@@ -247,6 +247,24 @@ object PlanAudit {
     check("x169_ann_ivfpq_recall", "per-query rank pushed down as WindowGroupLimit",
       _.contains("WindowGroupLimit"))
 
+    // ---- round-9b: retrieval / LM / labeling / split --------------------
+    check("x170_bm25_topk", "query terms + stats broadcast to postings",
+      p => "BroadcastHashJoin".r.findAllIn(p).length >= 2)
+    check("x170_bm25_topk", "per-query top-k pushed down as WindowGroupLimit",
+      _.contains("WindowGroupLimit"))
+    check("x171_lm_perplexity", "bigram + context model tables broadcast",
+      p => "BroadcastHashJoin".r.findAllIn(p).length >= 2)
+    check("x171_lm_perplexity", "model training partial+final (map-side combine)",
+      p => "HashAggregate".r.findAllIn(p).length >= 2)
+    check("x173_knn_classify", "probe block broadcast (one corpus pass)",
+      p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    check("x173_knn_classify", "per-probe top-k pushed down as WindowGroupLimit",
+      _.contains("WindowGroupLimit"))
+    check("x174_hard_negatives", "per-(probe,side) argmax as WindowGroupLimit",
+      _.contains("WindowGroupLimit"))
+    check("x175_leakage_safe_split", "no all-pairs scan (LSH pair graph only)",
+      p => !p.contains("CartesianProduct"))
+
     // ---- round-7: the two r6-verdict scale sores, now window-free -------
     check("x151_rfm", "sampled cutpoints broadcast; NO window anywhere",
       p => p.contains("BroadcastExchange") && !p.contains("Window"))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{AdvancedQueries, CoreQueries, ExtraQueries, Round2Queries, Round3Queries, Round4Queries, Round4bQueries, Round5Queries, Round5bQueries, Round5cQueries, Round5dQueries, Round5eQueries, Round5fQueries, Round6Queries, Round6bQueries, Round8Queries, Round9Queries}
-import graft.operators.{BpeTrain, Dedup, FuzzyJoin, IncrementalDedup, IvfPq, KMeansLite, LineOps, Multimodal, ProductQuant, Similarity, TextAnalysis, ZOrder}
+import graft.operators.{BpeTrain, ConnectedComponents, Dedup, FuzzyJoin, IncrementalDedup, IvfPq, KMeansLite, Labeling, LangModel, LeakageSplit, LineOps, Multimodal, ProductQuant, Retrieval, Similarity, TextAnalysis, ZOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -19,7 +19,9 @@ object SparkEntry {
       Round5eQueries.all ++ Round5fQueries.all ++ Round6Queries.all ++
       IncrementalDedup.queries ++ LineOps.queries ++ Round6bQueries.all ++
       FuzzyJoin.queries ++ Round8Queries.all ++ Round9Queries.all ++
-      ProductQuant.queries ++ BpeTrain.queries ++ IvfPq.queries
+      ProductQuant.queries ++ BpeTrain.queries ++ IvfPq.queries ++
+      Retrieval.queries ++ LangModel.queries ++ ConnectedComponents.queries ++
+      Labeling.queries ++ LeakageSplit.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q8 (TPC-H Q1 shape): scan→project→partial/final agg→sort end-to-end.

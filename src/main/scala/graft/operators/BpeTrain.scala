@@ -58,10 +58,11 @@ object BpeTrain {
       |  acc -> CASE WHEN acc.carry = '' THEN acc.out
       |              ELSE concat(acc.out, array(acc.carry)) END)""".stripMargin
 
-  /** Train `iters` BPE merges over the corpus; returns the merge table
-    * (it, a, b, freq) — the full training trajectory.
+  /** The shared training loop: per-iteration winning pairs plus the FINAL
+    * word→segmentation table (what "the trained tokenizer" is, materially).
     */
-  def trainMerges(spark: SparkSession, docs: DataFrame): DataFrame = {
+  private def trainLoop(spark: SparkSession, docs: DataFrame)
+      : (Seq[(Int, DataFrame)], DataFrame) = {
     // Word-type table: the one corpus-scale aggregation. Materialized once
     // (localCheckpoint) — every iteration references it, and at warehouse
     // scale it would be a persisted table.
@@ -85,14 +86,47 @@ object BpeTrain {
         .select("w", "cnt", "seq")
       (it, top)
     }
+    (tops, sq)
+  }
+
+  /** Train `iters` BPE merges over the corpus; returns the merge table
+    * (it, a, b, freq) — the full training trajectory.
+    */
+  def trainMerges(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val (tops, _) = trainLoop(spark, docs)
     tops.map { case (it, top) =>
       top.select(lit(it).as("it"), col("a"), col("b"), col("freq"))
     }.reduce(_.unionAll(_)).orderBy("it")
   }
 
+  /** x177: APPLY the trained tokenizer corpus-wide — per-doc token counts
+    * under the trained merges, the number an LLM data pipeline actually
+    * budgets by (sequence packing, per-source token quotas, pricing).
+    *
+    * Because BPE segments within word boundaries, encoding a document is
+    * a JOIN of its token stream against the word→segmentation table —
+    * never a per-doc re-fold: the type table is Heaps-sublinear and
+    * broadcast-sized here (shuffle-join on uniform word keys at web
+    * scale), so corpus cost is one pass. Output is integer-exact:
+    * chars, words, post-merge tokens, and the saved-token delta per doc.
+    */
+  def encodeCounts(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val (_, sq) = trainLoop(spark, docs)
+    val seg = sq.select(col("w"), size(col("seq")).cast("long").as("n_sym"))
+    TextOps.tokens(docs)
+      .join(broadcast(seg), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("n_sym")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"),
+        (col("n_chars") - col("n_tokens")).as("merged_away"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- SQL
 
-  private def bpeSql: String = {
+  private def bpeCtes: Seq[String] = {
     val ctes = scala.collection.mutable.ArrayBuffer(
       s"""words AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
          |          FROM (${TextOps.tokensSql}) t GROUP BY 1)""".stripMargin,
@@ -131,16 +165,34 @@ object BpeTrain {
                  |        END) AS acc2
                  |    FROM $prev, top$i t) m)""".stripMargin
     }
+    ctes.toSeq
+  }
+
+  private def bpeSql: String = {
     val tail = (1 to iters)
       .map(i => s"SELECT $i AS it, a, b, freq FROM top$i")
       .mkString(" UNION ALL ")
-    s"WITH ${ctes.mkString(",\n ")}\nSELECT * FROM ($tail) r ORDER BY it"
+    s"WITH ${bpeCtes.mkString(",\n ")}\nSELECT * FROM ($tail) r ORDER BY it"
   }
+
+  private def encodeSql: String =
+    s"""WITH ${bpeCtes.mkString(",\n ")},
+       | toks AS (${TextOps.tokensSql})
+       |SELECT doc_id, count(*) AS n_words,
+       |       CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       |       CAST(sum(len(seq)) AS BIGINT) AS n_tokens,
+       |       CAST(sum(length(w)) - sum(len(seq)) AS BIGINT) AS merged_away
+       |FROM toks JOIN sq$iters USING (w)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Seq[QueryDef] = Seq(
     QueryDef(
       "x168_bpe_train",
       (s, dir) => trainMerges(s, Tables.documents(s, dir)),
-      Some(bpeSql))
+      Some(bpeSql)),
+    QueryDef(
+      "x177_bpe_encode",
+      (s, dir) => encodeCounts(s, Tables.documents(s, dir)),
+      Some(encodeSql))
   )
 }

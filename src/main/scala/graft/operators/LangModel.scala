@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus-trained n-gram language-model scoring — the CCNet/KenLM-shaped
+  * quality filter: train bigram counts over the corpus, score every
+  * document by its average negative log-probability under the model, and
+  * let downstream gates drop the high-surprise (or suspiciously
+  * low-surprise, i.e. boilerplate) tail. The reference has no text or
+  * model surface (SURVEY.md §2.B); this is the LLM-pipeline extension's
+  * perplexity filter.
+  *
+  * Scale shape (100 TB): the MODEL is aggregate-sized — bigram and context
+  * tables are hash aggregates bounded by vocab², independent of corpus row
+  * count — so scoring joins broadcast the model to the token stream rather
+  * than shuffling the corpus. Per-doc averaging partitions by doc_id.
+  * (With a web-scale vocab the model outgrows a broadcast; the same plan
+  * with the hint dropped becomes a shuffle join on uniformly-distributed
+  * bigram keys — nothing else changes.)
+  *
+  * Determinism: p = (c2+1)/(c1+V) is an exactly-rounded IEEE division of
+  * integers; only `ln` can differ by an ulp between engines, so the
+  * per-bigram nll is rounded to 6 decimals and summed in DECIMAL(18,6)
+  * (order-independent); the final mean is one exact double division.
+  */
+object LangModel {
+
+  /** Per-doc average negative log-prob under an add-one-smoothed bigram LM
+    * trained on the SAME corpus (self-perplexity — the quality-filter
+    * configuration; a held-out model is the same plan with a different
+    * training input).
+    */
+  def bigramNll(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = TextOps.tokens(docs)
+      .select(col("doc_id"), col("w").as("w1"),
+        lead(col("w"), 1).over(win).as("w2"))
+      .filter(col("w2").isNotNull)
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = TextOps.tokens(docs)
+      .agg(count_distinct(col("w")).cast("double").as("v"))
+
+    val nll = round(-log((col("c2") + lit(1)).cast("double") /
+      (col("c1").cast("double") + col("v"))), 6)
+
+    bi.join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), nll.cast(DecimalType(18, 6)).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("sum_nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_nll").cast("double") /
+          col("n_bigrams").cast("double"), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  private val bigramNllSql: String =
+    s"""WITH toks AS (${TextOps.tokensSql}),
+       | bi AS (
+       |   SELECT doc_id, w AS w1,
+       |          lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |   FROM toks QUALIFY w2 IS NOT NULL),
+       | c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+       | c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+       | vocab AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM toks),
+       | scored AS (
+       |   SELECT bi.doc_id,
+       |          CAST(round(-ln(CAST(c2.c2 + 1 AS DOUBLE)
+       |            / (CAST(c1.c1 AS DOUBLE) + vocab.v)), 6)
+       |            AS DECIMAL(18,6)) AS nll
+       |   FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+       |        CROSS JOIN vocab)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |       round(CAST(sum(nll) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |         AS avg_nll
+       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "x171_lm_perplexity",
+      (s, dir) => bigramNll(s, Tables.documents(s, dir)),
+      Some(bigramNllSql)))
+}

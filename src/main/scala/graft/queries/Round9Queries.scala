@@ -158,6 +158,90 @@ object Round9Queries {
     QueryDef("x165_exact_substring_spans", exactSubstringSpans,
       Some(exactSubstringSql)),
 
+    // x178: per-doc duplicate-gram fraction — Lee et al. 2022's corpus
+    // diagnostic (what fraction of each document's text is memorizable
+    // verbatim from elsewhere): the share of a doc's positioned 8-gram
+    // OCCURRENCES whose gram also appears in >= 1 other document. Same
+    // gram-hash inverted index as x165 (the one corpus-wide shuffle,
+    // uniform md5 keys, map-side combinable); the per-doc tail is a
+    // doc_id-partitioned aggregate. Integer-exact end to end: counts plus
+    // a permille ratio via integer division — no float anywhere, so the
+    // oracle hash can't flake on rounding.
+    QueryDef(
+      "x178_dup_gram_fraction",
+      (s, dir) => {
+        val k = 8
+        val g = positionedGrams(Tables.documents(s, dir), k)
+          .select(col("doc_id"), md5(col("gram")).as("gh"))
+        val hot = g.groupBy("gh")
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("gh")
+        g.join(hot.withColumn("dup", lit(1L)), Seq("gh"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("dup"), lit(0L))).cast("long").as("dup_grams"))
+          .select(col("doc_id"), col("n_grams"), col("dup_grams"),
+            expr("dup_grams * 1000 DIV n_grams").as("dup_permille"))
+          .orderBy("doc_id")
+      },
+      Some({
+        val k = 8
+        val leads = (1 until k)
+          .map(i => s"lead(w,$i) OVER win").mkString(" || ' ' || ")
+        s"""WITH toks AS (${graft.operators.TextOps.tokensSql}),
+           | grams AS (
+           |   SELECT doc_id, pos, w || ' ' || $leads AS gram
+           |   FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+           | g AS (SELECT doc_id, md5(gram) AS gh FROM grams
+           |       WHERE gram IS NOT NULL),
+           | hot AS (SELECT gh, 1 AS dup FROM g GROUP BY gh
+           |         HAVING count(DISTINCT doc_id) >= 2)
+           |SELECT doc_id, count(*) AS n_grams,
+           |       CAST(sum(coalesce(dup, 0)) AS BIGINT) AS dup_grams,
+           |       CAST(sum(coalesce(dup, 0)) * 1000 // count(*) AS BIGINT)
+           |         AS dup_permille
+           |FROM g LEFT JOIN hot USING (gh)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      })),
+
+    // x179: asymmetric shingle CONTAINMENT — C(a,b) = |Sa ∩ Sb| / |Sa| —
+    // the small-inside-big detector Jaccard structurally misses: a 50-word
+    // passage verbatim inside a 5000-word page has Jaccard ≈ 1% but
+    // containment ≈ 100% (this is how quote/boilerplate absorption and
+    // eval-set passages hiding in long documents are actually caught —
+    // the same reason x113's passage screen exists). Candidates come from
+    // the x02 inverted shingle index (docs sharing >= 1 shingle — never
+    // all pairs; the x52 DF cap composes unchanged at scale); the
+    // threshold C >= 0.9 with |Sa| >= 5 evaluates as an integer
+    // cross-multiplication (inter*10 >= na*9) — no float anywhere.
+    QueryDef(
+      "x179_shingle_containment",
+      (s, dir) => {
+        val sh = TextOps.shingles(Tables.documents(s, dir))
+          .localCheckpoint() // one shingle pass feeds sizes AND the index
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("x").join(sh.as("y"),
+            col("x.shingle") === col("y.shingle") &&
+              col("x.doc_id") =!= col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).as("inter"))
+        inter.join(sizes.withColumnRenamed("doc_id", "a"), "a")
+          .filter(col("n") >= 5 && col("inter") * 10 >= col("n") * 9)
+          .select(col("a"), col("b"), col("inter"), col("n").as("na"))
+          .orderBy("a", "b")
+      },
+      Some(s"""WITH sh AS (${TextOps.shinglesSql}),
+              | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              | inter AS (
+              |   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+              |   FROM sh x JOIN sh y
+              |     ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+              |   GROUP BY 1, 2)
+              |SELECT a, b, inter, n AS na
+              |FROM inter JOIN sizes ON sizes.doc_id = inter.a
+              |WHERE n >= 5 AND inter * 10 >= n * 9
+              |ORDER BY a, b""".stripMargin)),
+
     // x167: takedown/right-to-be-forgotten propagation through the dedup
     // cluster structure — the maintenance op a 100 TB corpus runs when a
     // provider revokes licensing. Deleting a doc that is its cluster's

@@ -1149,6 +1149,70 @@ object StreamingOps {
               |  FROM events GROUP BY 1)
               |SELECT e.event_type, e.value > d.avg_v AS above, count(*) AS n
               |FROM events e JOIN d USING (event_type)
-              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      "x176_stream_sessionize",
+      (s, dir) => streamingSessionize(s, dir, "x176_stream_sessionize_sink"),
+      // Shares x30's session semantics exactly: a gap >= 30 min starts a
+      // new session; end = last event + 30 min (session_window's
+      // half-open [start, end) matches the oracle's `>=` gap test).
+      Some("""SELECT user_id, min(us) AS start_us,
+             |       max(us) + 1800000000 AS end_us, count(*) AS n_events
+             |FROM (
+             |  SELECT user_id, us,
+             |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |  FROM (
+             |    SELECT user_id, event_id, us,
+             |           CASE WHEN lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+             |                  THEN 1
+             |                WHEN us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000
+             |                  THEN 1
+             |                ELSE 0 END AS is_new
+             |    FROM (SELECT *, epoch_us(ts) AS us FROM events) e) flagged) sessions
+             |GROUP BY user_id, session_id ORDER BY user_id, start_us""".stripMargin))
   )
+
+  /** Streaming twin of x30: `session_window` aggregation in APPEND mode —
+    * sessions emit only once the watermark proves no more members can
+    * arrive, which is the production contract (a session row is final when
+    * written). The far-future sentinel pair flushes the watermark past
+    * every real session on drain, so the drained sink equals the batch
+    * x30 computation and shares its oracle; the sentinel's own session
+    * (negative user ids) is filtered from the sink read.
+    *
+    * Scale: state is one row per OPEN session per user — the watermark
+    * closes and evicts sessions 1 h behind the max event time, so state is
+    * bounded by concurrently-active users, not history. Session merging is
+    * the state-store's native session-window merge (no per-event shuffle
+    * beyond the user_id hash partitioning).
+    */
+  def streamingSessionize(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame = withStreamPartitions(spark) {
+    spark.catalog.dropTempView(sinkName)
+    // byTime staging: chronological file arrival keeps every real event
+    // ahead of the 1 h watermark (append mode DROPS late rows — unordered
+    // staging would silently lose sessions, the x155 late-drop semantics).
+    val events = stagedEventsStream(spark, dir, byTime = true, sentinel = true)
+      .withColumn("ts", expr("timestamp_micros(ts)"))
+    val q = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        expr("unix_micros(sw.start)").as("start_us"),
+        expr("unix_micros(sw.end)").as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
 }
