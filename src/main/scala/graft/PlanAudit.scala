@@ -264,6 +264,10 @@ object PlanAudit {
       _.contains("WindowGroupLimit"))
     check("x175_leakage_safe_split", "no all-pairs scan (LSH pair graph only)",
       p => !p.contains("CartesianProduct"))
+    check("x180_ks_drift",
+      "ECDF via bucketed windows + broadcast offsets; argmax is TakeOrdered",
+      p => p.contains("BroadcastExchange") &&
+        p.contains("TakeOrderedAndProject"))
 
     // ---- round-7: the two r6-verdict scale sores, now window-free -------
     check("x151_rfm", "sampled cutpoints broadcast; NO window anywhere",

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AdvancedQueries, CoreQueries, ExtraQueries, Round2Queries, Round3Queries, Round4Queries, Round4bQueries, Round5Queries, Round5bQueries, Round5cQueries, Round5dQueries, Round5eQueries, Round5fQueries, Round6Queries, Round6bQueries, Round8Queries, Round9Queries}
-import graft.operators.{BpeTrain, ConnectedComponents, Dedup, FuzzyJoin, IncrementalDedup, IvfPq, KMeansLite, Labeling, LangModel, LeakageSplit, LineOps, Multimodal, ProductQuant, Retrieval, Similarity, TextAnalysis, ZOrder}
+import graft.queries.{AdvancedQueries, CoreQueries, ExtraQueries, Round2Queries, Round3Queries, Round4Queries, Round4bQueries, Round5Queries, Round5bQueries, Round5cQueries, Round5dQueries, Round5eQueries, Round5fQueries, Round6Queries, Round6bQueries, Round8Queries, Round9Queries, Round9cQueries}
+import graft.operators.{BpeTrain, ConnectedComponents, Dedup, FuzzyJoin, IncrementalDedup, IvfPq, KMeansLite, Labeling, LangModel, LeakageSplit, LineOps, Multimodal, ProductQuant, RandomProjection, Retrieval, Similarity, TextAnalysis, ZOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -21,7 +21,8 @@ object SparkEntry {
       FuzzyJoin.queries ++ Round8Queries.all ++ Round9Queries.all ++
       ProductQuant.queries ++ BpeTrain.queries ++ IvfPq.queries ++
       Retrieval.queries ++ LangModel.queries ++ ConnectedComponents.queries ++
-      Labeling.queries ++ LeakageSplit.queries
+      Labeling.queries ++ LeakageSplit.queries ++ Round9cQueries.all ++
+      RandomProjection.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q8 (TPC-H Q1 shape): scan→project→partial/final agg→sort end-to-end.

@@ -25,7 +25,13 @@ import org.apache.spark.sql.types.DecimalType
   * Determinism: p = (c2+1)/(c1+V) is an exactly-rounded IEEE division of
   * integers; only `ln` can differ by an ulp between engines, so the
   * per-bigram nll is rounded to 6 decimals and summed in DECIMAL(18,6)
-  * (order-independent); the final mean is one exact double division.
+  * (order-independent). The mean is emitted in MICRO-NATS as an exact
+  * integer (sum·10⁶ is an integer by construction, then integer DIV by
+  * the bigram count): a double `round(sum/n, 6)` lands on decimal
+  * MIDPOINTS whenever n | 10⁶·sum — and there Java's shortest-string
+  * HALF_UP and C's binary-value rounding disagree (3.4078655 →
+  * 3.407866 vs 3.407865, the sf0.1 doc-4599 case) — so no float touches
+  * the output at all.
   */
 object LangModel {
 
@@ -55,8 +61,9 @@ object LangModel {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("sum_nll"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("sum_nll").cast("double") /
-          col("n_bigrams").cast("double"), 6).as("avg_nll"))
+        (col("sum_nll") * 1000000).cast("long").as("sum_unat"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_unat DIV n_bigrams").as("avg_nll_unat"))
       .orderBy("doc_id")
   }
 
@@ -77,8 +84,8 @@ object LangModel {
        |   FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
        |        CROSS JOIN vocab)
        |SELECT doc_id, count(*) AS n_bigrams,
-       |       round(CAST(sum(nll) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-       |         AS avg_nll
+       |       CAST(CAST(sum(nll) * 1000000 AS BIGINT) // count(*) AS BIGINT)
+       |         AS avg_nll_unat
        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Seq[QueryDef] = Seq(

@@ -1152,6 +1152,14 @@ object StreamingOps {
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     QueryDef(
+      "x183_stream_distinct_hll",
+      (s, dir) => streamingDistinctHll(s, dir, "x183_stream_distinct_sink"),
+      Some("""SELECT event_type,
+             |       epoch_us(date_trunc('hour', ts)) AS h_us,
+             |       count(DISTINCT user_id) AS nd, true AS within_10pct
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
       "x176_stream_sessionize",
       (s, dir) => streamingSessionize(s, dir, "x176_stream_sessionize_sink"),
       // Shares x30's session semantics exactly: a gap >= 30 min starts a
@@ -1173,6 +1181,49 @@ object StreamingOps {
              |    FROM (SELECT *, epoch_us(ts) AS us FROM events) e) flagged) sessions
              |GROUP BY user_id, session_id ORDER BY user_id, start_us""".stripMargin))
   )
+
+  /** Streaming twin of x164's HLL swap: per-(hour, type) distinct-user
+    * SKETCHES maintained incrementally in complete mode — what a
+    * production rollup actually stores (fixed-size mergeable state per
+    * bucket instead of x124's unbounded user sets; sketches also
+    * re-aggregate across days/regions, which exact sets can't). The
+    * certification follows the x16/x49/x164 invariant pattern: after the
+    * drain, each bucket's sketch estimate is checked against the BATCH
+    * exact distinct count and the query emits the exact count plus the
+    * in-band boolean (default lgK=12 ≈ 1.6% rsd, so the 10% band is ~6σ);
+    * the oracle asserts `true` — an out-of-band sketch hash-mismatches
+    * instead of hiding. Bucket keys are epoch-micros longs end to end, so
+    * no session-timezone surface exists.
+    */
+  def streamingDistinctHll(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame = withStreamPartitions(spark) {
+    spark.catalog.dropTempView(sinkName)
+    val events = stagedEventsStream(spark, dir)
+      .withColumn("ts", expr("timestamp_micros(ts)"))
+    val q = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val est = spark.table(sinkName)
+      .select(expr("unix_micros(window.start)").as("h_us"),
+        col("event_type"), hll_sketch_estimate(col("sk")).as("nd_est"))
+    val exact = Tables.events(spark, dir)
+      .groupBy(graft.functions.TimeCols
+        .ntzEpochMicros("date_trunc('hour', ts)").as("h_us"),
+        col("event_type"))
+      .agg(count_distinct(col("user_id")).as("nd"))
+    est.join(exact, Seq("h_us", "event_type"))
+      .select(col("event_type"), col("h_us"), col("nd"),
+        (abs(col("nd_est") - col("nd")) <= col("nd") * lit(0.1))
+          .as("within_10pct"))
+      .orderBy("event_type", "h_us")
+  }
 
   /** Streaming twin of x30: `session_window` aggregation in APPEND mode —
     * sessions emit only once the watermark proves no more members can

@@ -30,11 +30,13 @@ class Round9bSpec extends SparkSuite {
       "every doc has >= 2 tokens on this fixture, so all must score")
     // Per-bigram nll is ln((c1+V)/(c2+1)) <= ln(total_bigrams + V) — a
     // loose corpus-size bound; and > 0 since c2+1 < c1+V always (V > 1).
+    // avg_nll_unat is integer micro-nats (the midpoint-proof encoding).
     val total = rows.map(_.getLong(1)).sum
-    val bound = math.log(total + 1000.0)
+    val bound = math.log(total + 1000.0) * 1e6
     rows.foreach { r =>
-      val nll = r.getDouble(2)
-      assert(nll > 0.0 && nll <= bound, s"doc ${r.getLong(0)} nll $nll")
+      val nll = r.getLong(2)
+      assert(nll > 0L && nll <= bound.toLong,
+        s"doc ${r.getLong(0)} nll $nll micro-nats")
     }
   }
 
@@ -140,6 +142,63 @@ class Round9bSpec extends SparkSuite {
     // case that motivates the operator over symmetric Jaccard).
     val set = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(set.exists { case (a, b) => !set.contains((b, a)) })
+  }
+
+  test("x180: KS statistic is a valid ECDF gap and self-consistent") {
+    val r = SparkEntry.queries("x180_ks_drift")(spark, sfDir)
+      .collect().head
+    val (dNum, dDen, n1, n2) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n1 > 0 && n2 > 0 && dDen == n1 * n2)
+    assert(dNum >= 0 && dNum <= dDen, "D must lie in [0, 1]")
+    // Recompute the significance decision from the emitted integers —
+    // the boolean must be exactly the 1.36·sqrt((n1+n2)/(n1·n2)) gate.
+    val d = dNum.toDouble / dDen.toDouble
+    val crit = 1.36 * math.sqrt((n1 + n2).toDouble / dDen.toDouble)
+    assert(r.getBoolean(5) == (d > crit))
+  }
+
+  test("x181: drifted JSON feed keeps presence separate from value") {
+    val rows = SparkEntry.queries("x181_json_schema_drift")(spark, sfDir)
+      .collect().toSeq
+    val events = Tables.events(spark, sfDir)
+    val total = events.count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "every event survives the two-shape ingest")
+    rows.foreach { r =>
+      assert(r.getLong(2) < r.getLong(1),
+        "legacy-shape rows must surface as missing values, not vanish")
+      assert(r.getLong(2) > 0, "current-shape rows must carry values")
+    }
+  }
+
+  test("x182: JL estimates are unbiased-ish and in the 4-sigma band") {
+    val rows = SparkEntry.queries("x182_jl_projection")(spark, sfDir)
+      .collect().toSeq
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, "probe pairs are distinct vectors")
+      assert(r.getBoolean(4),
+        s"pair ${r.getLong(0)} ratio ${r.getLong(3)}‰ outside [300, 2000]")
+    }
+    // The MEAN ratio over 16 pairs should sit near 1000‰ — a systematic
+    // scale error (wrong variance constant, wrong k) would shift it.
+    val mean = rows.map(_.getLong(3)).sum / rows.length
+    assert(mean > 700 && mean < 1300, s"mean ratio $mean‰ is biased")
+  }
+
+  test("x183: drained streaming sketches stay within the 10% band") {
+    val rows = SparkEntry.queries("x183_stream_distinct_hll")(spark, sfDir)
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(3)),
+      "every bucket's HLL estimate must sit inside the 10% envelope")
+    // And the buckets must be the batch buckets — count parity with the
+    // exact batch aggregation proves no window was dropped in the drain.
+    val batch = Tables.events(spark, sfDir)
+      .select(date_trunc("hour", col("ts")), col("event_type"))
+      .distinct().count()
+    assert(rows.length == batch.toInt)
   }
 
   test("x176: drained streaming sessionization equals batch x30 exactly") {

@@ -26,7 +26,14 @@ class ScalingSlopeSpec extends SparkSuite {
     // subspace — its only corpus-quadratic risk is the certification
     // exact side, which is probeSet-bounded, not corpus-bounded).
     "x165_exact_substring_spans", "x166_ann_pq_recall",
-    "x169_ann_ivfpq_recall")
+    "x169_ann_ivfpq_recall",
+    // r9b members: containment shares x02's inverted-index candidate
+    // risk (hot-shingle fan-out); alternating-star CC and the
+    // cluster-keyed split both iterate over the LSH pair graph — a
+    // superlinear slope here would mean the pair graph itself (not the
+    // corpus) grew quadratically.
+    "x179_shingle_containment", "x172_cc_alternating_star",
+    "x175_leakage_safe_split")
 
   private def timeOnce(name: String, dir: String): Double = {
     val t0 = System.nanoTime()
