@@ -59,12 +59,16 @@ object ConnectedComponents {
 
       // Small-star: orient to (u = max, v = min); per u,
       // m = min(N≤(u) ∪ {u}) = min neighbor (all v < u); re-parent u and
-      // every other small neighbor to m.
+      // every other small neighbor to m. ONE pass over the windowed rows:
+      // each (u, v, m) row emits (m, v) when v isn't the min itself, and
+      // the (m, u) re-parent rides the same row (deduped below, since u
+      // repeats per neighbor) — a two-branch union would re-run the
+      // large-star window per branch.
       val sm = ls.select(col("b").as("u"), col("a").as("v"))
-      val withM = sm.withColumn("m", min(col("v")).over(wU))
-      val ss = withM.filter(col("v") =!= col("m"))
-        .select(col("m").as("a"), col("v").as("b"))
-        .union(withM.select(col("m").as("a"), col("u").as("b")))
+      val ss = sm.withColumn("m", min(col("v")).over(wU))
+        .select(col("m").as("a"), explode(
+          when(col("v") =!= col("m"), array(col("v"), col("u")))
+            .otherwise(array(col("u")))).as("b"))
         .filter(col("a") =!= col("b"))
         .distinct()
         .localCheckpoint()
@@ -96,15 +100,6 @@ object ConnectedComponents {
       (s, dir) => alternatingStar(
         Dedup.minhashLshPairs(Tables.documents(s, dir), 0.8))
         .orderBy("doc_id"),
-      Some(s"""WITH RECURSIVE
-              | p AS (${Dedup.ngramJaccardPairsSql(0.8)}),
-              | edges AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
-              | reach(src, dst) AS (
-              |   SELECT DISTINCT a AS src, a AS dst FROM edges
-              |   UNION
-              |   SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
-              | )
-              |SELECT src AS doc_id, min(dst) AS cluster_id
-              |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin))
+      Some(Dedup.clusterOracleSql))
   )
 }

@@ -790,15 +790,29 @@ object Dedup {
       "x43_dedup_clusters",
       (s, dir) => dedupClusters(
         minhashLshPairs(Tables.documents(s, dir), 0.8)).orderBy("doc_id"),
-      Some(s"""WITH RECURSIVE
-              | p AS (${ngramJaccardPairsSql(0.8)}),
-              | edges AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
-              | reach(src, dst) AS (
-              |   SELECT DISTINCT a AS src, a AS dst FROM edges
-              |   UNION
-              |   SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
-              | )
-              |SELECT src AS doc_id, min(dst) AS cluster_id
-              |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin))
+      Some(clusterOracleSql))
   )
+
+  /** The transitive-closure CTE chain every cluster-consuming oracle
+    * builds on (x43, x167, x172, x175): pair edges → recursive reach →
+    * `cl(doc_id, cluster_id)` with cluster_id = component minimum. ONE
+    * definition — the "shares x43's oracle verbatim" equivalence claims
+    * are structural, not four hand-maintained copies.
+    */
+  def clusterClosureCtesSql(threshold: Double): String =
+    s"""p AS (${ngramJaccardPairsSql(threshold)}),
+       | edges AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+       | reach(src, dst) AS (
+       |   SELECT DISTINCT a AS src, a AS dst FROM edges
+       |   UNION
+       |   SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
+       | ),
+       | cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+       |        FROM reach GROUP BY 1)""".stripMargin
+
+  /** x43's full oracle — also x172's, verbatim by construction. */
+  def clusterOracleSql: String =
+    s"""WITH RECURSIVE
+       | ${clusterClosureCtesSql(0.8)}
+       |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin
 }

@@ -63,15 +63,7 @@ object LeakageSplit {
           .orderBy("strategy")
       },
       Some(s"""WITH RECURSIVE
-              | p AS (${Dedup.ngramJaccardPairsSql(0.8)}),
-              | edges AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
-              | reach(src, dst) AS (
-              |   SELECT DISTINCT a AS src, a AS dst FROM edges
-              |   UNION
-              |   SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
-              | ),
-              | cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
-              |        FROM reach GROUP BY 1),
+              | ${Dedup.clusterClosureCtesSql(0.8)},
               | mem AS (SELECT d.doc_id, cl.cluster_id,
               |                coalesce(cl.cluster_id, d.doc_id) AS gk
               |         FROM documents d LEFT JOIN cl USING (doc_id)),

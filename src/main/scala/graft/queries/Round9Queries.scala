@@ -274,16 +274,7 @@ object Round9Queries {
           .orderBy("cluster_id")
       },
       Some(s"""WITH RECURSIVE
-              | p AS (${graft.operators.Dedup.ngramJaccardPairsSql(0.8)}),
-              | edges AS (SELECT a, b FROM p
-              |           UNION ALL SELECT b AS a, a AS b FROM p),
-              | reach(src, dst) AS (
-              |   SELECT DISTINCT a AS src, a AS dst FROM edges
-              |   UNION
-              |   SELECT r.src, e.b AS dst FROM reach r
-              |   JOIN edges e ON r.dst = e.a),
-              | cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
-              |        FROM reach GROUP BY 1),
+              | ${graft.operators.Dedup.clusterClosureCtesSql(0.8)},
               | mem AS (SELECT cl.doc_id, cl.cluster_id,
               |                d.source IN ('src3','src7') AS deleted
               |         FROM cl JOIN documents d USING (doc_id))

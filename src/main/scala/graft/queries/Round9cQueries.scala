@@ -57,7 +57,9 @@ object Round9cQueries {
       .groupBy(col("a.bucket").as("bucket"))
       .agg(coalesce(sum(col("b.t1")), lit(0L)).as("off1"),
         coalesce(sum(col("b.t2")), lit(0L)).as("off2"))
-    val n = pts.agg(sum(col("k1")).as("n1"), sum(col("k2")).as("n2"))
+    // Sample sizes from the (checkpointed) bucket totals — summing `pts`
+    // directly would re-scan and re-aggregate the whole events table.
+    val n = totals.agg(sum(col("t1")).as("n1"), sum(col("t2")).as("n2"))
     inBucket.join(broadcast(offsets), "bucket")
       .crossJoin(broadcast(n))
       .select(col("cents"), col("n1"), col("n2"),
@@ -121,11 +123,27 @@ object Round9cQueries {
       dir: String): org.apache.spark.sql.DataFrame = {
     import java.nio.file.{Files, Paths}
     val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
-    // Deterministic staging keyed by input dir (the streaming stagers'
-    // idiom): write once, reuse across calls; temp-dir + atomic rename so
+    // Deterministic staging keyed by input dir AND the fixture's
+    // bytes+mtime (the streaming stagers' idiom — keying on the dir alone
+    // would silently reuse stale staged JSON across a fixture
+    // regeneration, the r7 incident class); temp-dir + atomic rename so
     // concurrent callers cannot see a half-written stage.
+    val srcPath = Paths.get(dir, "events.parquet")
+    val srcFiles =
+      if (Files.isRegularFile(srcPath)) Vector(srcPath)
+      else {
+        val st = Files.list(srcPath)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(Files.isRegularFile(_)).toVector
+        } finally st.close()
+      }
+    val srcBytes = srcFiles.map(Files.size).sum
+    val srcMtime = srcFiles.map(Files.getLastModifiedTime(_).toMillis)
+      .foldLeft(0L)(math.max)
     val stageKey = java.lang.Long.toHexString(
-      java.util.Objects.hash("jsondrift", dir).toLong & 0xffffffffL)
+      java.util.Objects.hash("jsondrift", dir, srcBytes, srcMtime)
+        .toLong & 0xffffffffL)
     val staged = Paths.get(sys.props("java.io.tmpdir"), s"graft_json_$stageKey")
     if (!Files.isDirectory(staged)) {
       val tmp = Paths.get(staged.toString +
@@ -154,9 +172,15 @@ object Round9cQueries {
       .orderBy("event_type")
   }
 
+  // rows_with_value counts `value` (not the odd-id predicate): a NULL
+  // value in a current-shape row is dropped by Spark's JSON writer
+  // (ignoreNullFields) and reads back as NULL — the oracle must count the
+  // surviving VALUES, or a future fixture with a null `value` would
+  // diverge the two sides.
   private val jsonSchemaDriftSql =
     s"""SELECT event_type, count(*) AS rows,
-       |       count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS rows_with_value,
+       |       count(CASE WHEN event_id % 2 = 1 THEN value END)
+       |         AS rows_with_value,
        |       ${graft.QueryDef.dsumSql(
             "CASE WHEN event_id % 2 = 1 THEN value ELSE 0.0 END")} AS s
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
