@@ -33,11 +33,18 @@ object Round9cQueries {
     * TakeOrdered. No unpartitioned window, no driver loop.
     */
   private def ksDrift(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val ev = Tables.events(s, dir)
+      dir: String): org.apache.spark.sql.DataFrame =
+    ksStatistic(Tables.events(s, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(round(col("value") * 100).cast("long").as("cents"),
-        col("event_type"))
+        col("event_type")))
+
+  /** The KS core over (cents, event_type ∈ {click, purchase}) rows —
+    * exposed separately so the property spec can drive it with generated
+    * samples against a plain-Scala reference.
+    */
+  def ksStatistic(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val pts = ev.groupBy("cents")
       .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
         .as("k1"),
