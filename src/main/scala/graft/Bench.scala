@@ -156,6 +156,15 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoFull,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // ALSO drop the full-precision record at the repo root: past ~200
+    // queries the complete per-query map physically exceeds the driver's
+    // 2 KB stdout tail (203 entries ≈ 1.96 KB before the fixed JSON
+    // overhead), so the stdout line must elide a handful of the fastest
+    // entries — the complete official record is this committed file (the
+    // driver commits uncommitted work each round), and the stdout line
+    // stays the at-a-glance summary.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     def shortLine(rs: Seq[(String, Double)], note: String,
         withIso: Boolean): String = {
       val qs = rs.map { case (k, v) => "\"" + outId(k) + "\":" + cs(v) }
