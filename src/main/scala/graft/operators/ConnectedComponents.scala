@@ -34,7 +34,16 @@ object ConnectedComponents {
     * with cluster_id = the component's minimum node — identical output to
     * [[Dedup.dedupClusters]], so x172 shares x43's oracle verbatim.
     */
-  def alternatingStar(pairs: DataFrame): DataFrame = {
+  def alternatingStar(pairs: DataFrame): DataFrame =
+    alternatingStarWithRounds(pairs)._1
+
+  /** [[alternatingStar]] plus the number of large+small-star rounds it
+    * ran — the observable behind the O(log n) claim
+    * (`ConnectedComponentsSpec` measures it against min-label
+    * propagation's O(diameter) count on a path graph).
+    */
+  private[graft] def alternatingStarWithRounds(pairs: DataFrame)
+      : (DataFrame, Int) = {
     // Canonical undirected edges (a < b), deduped; self-loops dropped.
     var edges = pairs
       .select(least(col("a"), col("b")).as("a"),
@@ -43,8 +52,10 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
 
+    var rounds = 0
     var converged = false
     while (!converged) {
+      rounds += 1
       // Large-star: symmetrize; per node u with neighborhood N(u),
       // m = min(N(u) ∪ {u}); emit (v, m) for every v ∈ N(u), v > u.
       val sym = edges.select(col("a").as("u"), col("b").as("v"))
@@ -86,9 +97,9 @@ object ConnectedComponents {
 
     // Star forest: every edge is (center=min, leaf); centers label
     // themselves.
-    edges.select(col("b").as("doc_id"), col("a").as("cluster_id"))
+    (edges.select(col("b").as("doc_id"), col("a").as("cluster_id"))
       .union(edges.select(col("a").as("doc_id"), col("a").as("cluster_id")))
-      .distinct()
+      .distinct(), rounds)
   }
 
   val queries: Seq[QueryDef] = Seq(

@@ -658,15 +658,26 @@ object Dedup {
     * replay rounds 1..N-1. The driver sees only a 1-row convergence
     * probe per round, never data.
     */
-  def dedupClusters(pairs: DataFrame): DataFrame = {
+  def dedupClusters(pairs: DataFrame): DataFrame =
+    dedupClustersWithRounds(pairs)._1
+
+  /** [[dedupClusters]] plus the number of label-propagation rounds it ran
+    * — the observable behind the O(diameter) claim (a path graph of
+    * length L needs ~L rounds; `ConnectedComponentsSpec` measures it
+    * against the alternating-star O(log n) count).
+    */
+  private[graft] def dedupClustersWithRounds(pairs: DataFrame)
+      : (DataFrame, Int) = {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
+    var rounds = 0
     var converged = false
     while (!converged) {
+      rounds += 1
       // One aggregation carries both the new label (min over self +
       // neighborhood) and the previous label (min over the self rows
       // only). The changed-label count rides the SAME job as the
@@ -687,7 +698,8 @@ object Dedup {
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = updated.select("node", "lbl")
     }
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    (labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id")),
+      rounds)
   }
 
   // ---- declared queries -------------------------------------------------
