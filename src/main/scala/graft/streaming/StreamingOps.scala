@@ -1160,6 +1160,18 @@ object StreamingOps {
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     QueryDef(
+      "x184_stream_topk",
+      (s, dir) => streamingTopK(s, dir, "x184_stream_topk_sink"),
+      // x74's oracle verbatim — the drained stream must equal the batch
+      // UDAF answer, which the window rank defines.
+      Some("""SELECT event_type, rnk, value, event_id FROM (
+             |  SELECT event_type, value, event_id,
+             |         CAST(row_number() OVER (PARTITION BY event_type
+             |              ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+             |  FROM events) t
+             |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin)),
+
+    QueryDef(
       "x176_stream_sessionize",
       (s, dir) => streamingSessionize(s, dir, "x176_stream_sessionize_sink"),
       // Shares x30's session semantics exactly: a gap >= 30 min starts a
@@ -1223,6 +1235,45 @@ object StreamingOps {
         (abs(col("nd_est") - col("nd")) <= col("nd") * lit(0.1))
           .as("within_10pct"))
       .orderBy("event_type", "h_us")
+  }
+
+  /** Streaming top-k maintenance — the "current leaderboard" query a
+    * monitoring surface keeps live: per event_type, the top-3 rows by
+    * (value DESC, event_id) maintained incrementally across microbatches.
+    *
+    * The state is the x74 [[graft.functions.TopKAggregator]] buffer —
+    * AT MOST k entries per key through partials, merges, AND the
+    * streaming state store (top-k is a semigroup: top3(a ∪ b) =
+    * top3(top3(a) ∪ top3(b))), so state is k rows per key regardless of
+    * history — the property that makes leaderboards streamable at all
+    * (a collect_list-then-slice rendering would carry every row ever
+    * seen in state; the slice would only hide it at projection time).
+    * Complete-mode memory sink; drained ≡ the batch rank query — shares
+    * x74's oracle verbatim.
+    */
+  def streamingTopK(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame = withStreamPartitions(spark) {
+    import spark.implicits._
+    spark.catalog.dropTempView(sinkName)
+    val q = stagedEventsStream(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKAggregator[(String, Double, Long)](
+        3, t => (t._2, t._3)).toColumn.name("top"))
+      .toDF("event_type", "top")
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(sinkName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sinkName)
+      .select(col("event_type"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("event_type"), (col("i") + 1).cast("long").as("rnk"),
+        col("p._1").as("value"), col("p._2").as("event_id"))
+      .orderBy("event_type", "rnk")
   }
 
   /** Streaming twin of x30: `session_window` aggregation in APPEND mode —

@@ -201,6 +201,19 @@ class Round9bSpec extends SparkSuite {
     assert(rows.length == batch.toInt)
   }
 
+  test("x184: drained streaming top-k equals the batch UDAF exactly") {
+    // Same bounded TopKAggregator buffer, two execution models — the
+    // semigroup merge property is what makes them provably equal.
+    val stream = SparkEntry.queries("x184_stream_topk")(spark, sfDir)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val batch = SparkEntry.queries("x74_topk_udaf")(spark, sfDir)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   test("x176: drained streaming sessionization equals batch x30 exactly") {
     val stream = SparkEntry.queries("x176_stream_sessionize")(spark, sfDir)
       .collect().toSeq.map(r =>
