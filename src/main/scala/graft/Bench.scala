@@ -162,9 +162,12 @@ object Bench {
     // overhead), so the stdout line must elide a handful of the fastest
     // entries — the complete official record is this committed file (the
     // driver commits uncommitted work each round), and the stdout line
-    // stays the at-a-glance summary.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // stays the at-a-glance summary. FULL runs only: an isolation
+    // experiment (SPARK_GRAFT_BENCH_ONLY set) must never overwrite the
+    // official full-suite record with a partial subset (r9 advice).
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     def shortLine(rs: Seq[(String, Double)], note: String,
         withIso: Boolean): String = {
       val qs = rs.map { case (k, v) => "\"" + outId(k) + "\":" + cs(v) }

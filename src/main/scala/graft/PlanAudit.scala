@@ -252,10 +252,34 @@ object PlanAudit {
       p => "BroadcastHashJoin".r.findAllIn(p).length >= 2)
     check("x170_bm25_topk", "per-query top-k pushed down as WindowGroupLimit",
       _.contains("WindowGroupLimit"))
+    // r9 verdict #1: the df table must be query-sized by construction —
+    // postings semi-join to the broadcast query-term set BEFORE the df
+    // aggregate, so no full-vocabulary table ever exists in the plan.
+    check("x170_bm25_topk", "postings semi-joined to query terms pre-df",
+      _.contains("LeftSemi"))
     check("x171_lm_perplexity", "bigram + context model tables broadcast",
       p => "BroadcastHashJoin".r.findAllIn(p).length >= 2)
     check("x171_lm_perplexity", "model training partial+final (map-side combine)",
       p => "HashAggregate".r.findAllIn(p).length >= 2)
+    // r9 verdict #1: the model broadcasts are byte-gated. Past the bar the
+    // forced hints must be gone (only the 1-row vocab cross-join hint,
+    // which carries no condition, may remain) — inspect the optimized
+    // logical plan, no collect(), same contract as the triangles gate.
+    locally {
+      spark.conf.set("graft.lm.broadcastMaxBytes", "64")
+      try {
+        val df = SparkEntry.queries("x171_lm_perplexity")(spark, dir)
+        val forced = df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join
+              if (j.hint.leftHint.exists(_.strategy.nonEmpty) ||
+                j.hint.rightHint.exists(_.strategy.nonEmpty)) &&
+                j.condition.nonEmpty => j
+        }
+        val ok = forced.isEmpty
+        if (!ok) failed += 1
+        println(f"${"x171_lm_perplexity"}%-22s ${"past the bar: no forced model broadcast"}%-40s ${if (ok) "OK" else "MISSING"}")
+      } finally spark.conf.unset("graft.lm.broadcastMaxBytes")
+    }
     check("x173_knn_classify", "probe block broadcast (one corpus pass)",
       p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
     check("x173_knn_classify", "per-probe top-k pushed down as WindowGroupLimit",

@@ -34,4 +34,19 @@ object QueryDef {
   /** DuckDB-side rendering of [[dsum]]. */
   def dsumSql(expr: String, scale: Int = 6): String =
     s"CAST(sum(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** Frees the persisted blocks behind a `localCheckpoint()`ed frame.
+    *
+    * `Dataset.unpersist()` only clears CacheManager entries (from
+    * `persist()`), never checkpoint RDD blocks — so a fixpoint loop that
+    * checkpoints a fresh iterate per round accumulates dead blocks
+    * linearly in round count unless it drops the prior iterate here once
+    * the convergence check has consumed it (r9 advice; masked in Bench by
+    * its post-query `getPersistentRDDs` sweep but not in Verify or
+    * library use). Non-blocking; a no-op on non-checkpointed frames.
+    */
+  def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(false))
 }

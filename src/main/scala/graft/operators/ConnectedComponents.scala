@@ -92,6 +92,9 @@ object ConnectedComponents {
         .groupBy("a", "b").agg(sum(col("s")).as("s"))
         .filter(col("s") =!= 0L)
         .isEmpty
+      // The convergence check above was the old iterate's last consumer —
+      // drop its blocks now or they accumulate one store per round.
+      graft.QueryDef.dropCheckpoint(edges)
       edges = ss
     }
 

@@ -696,8 +696,14 @@ object Dedup {
           .otherwise(0L)), lit(0L)).as("changed"))
         .localCheckpoint()
       converged = obs.get("changed").asInstanceOf[Long] == 0L
+      // `updated` is materialized (localCheckpoint is eager), so the old
+      // iterate has no remaining consumer — drop its blocks now instead
+      // of accumulating one dead store per round (r9 advice).
+      graft.QueryDef.dropCheckpoint(labels)
       labels = updated.select("node", "lbl")
     }
+    // The final iterate is the only store the returned (lazy) frame needs.
+    graft.QueryDef.dropCheckpoint(edges)
     (labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id")),
       rounds)
   }

@@ -18,9 +18,16 @@ import org.apache.spark.sql.types.DecimalType
   * tables are hash aggregates bounded by vocab², independent of corpus row
   * count — so scoring joins broadcast the model to the token stream rather
   * than shuffling the corpus. Per-doc averaging partitions by doc_id.
-  * (With a web-scale vocab the model outgrows a broadcast; the same plan
-  * with the hint dropped becomes a shuffle join on uniformly-distributed
-  * bigram keys — nothing else changes.)
+  * With a web-scale vocab the model outgrows a broadcast, so the hints are
+  * BYTE-GATED (the x05/x152 switch idiom): measured model bytes vs
+  * `graft.lm.broadcastMaxBytes` (default 256 MB) with
+  * `autoBroadcastJoinThreshold=-1` respected absolutely; past the bar the
+  * same plan becomes a shuffle join on uniformly-distributed bigram keys —
+  * nothing else changes and both branches share the oracle. The decision
+  * statistic is one aggregate over the bigram-TYPE table (rows + character
+  * mass — aggregate-sized, never the corpus stream); `c1` rides `c2`'s
+  * verdict because it is a strictly coarser aggregate of the same stream
+  * (|c1| ≤ |c2|, shorter keys).
   *
   * Determinism: p = (c2+1)/(c1+V) is an exactly-rounded IEEE division of
   * integers; only `ln` can differ by an ulp between engines, so the
@@ -54,8 +61,24 @@ object LangModel {
     val nll = round(-log((col("c2") + lit(1)).cast("double") /
       (col("c1").cast("double") + col("v"))), 6)
 
-    bi.join(broadcast(c2), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+    // Byte-gate the model broadcasts: the bigram-type table's measured
+    // bytes (16 B row overhead + key characters) against the configured
+    // bar. vocab is a 1-row aggregate — always broadcast.
+    val modelBytes = c2
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(length(col("w1")) + length(col("w2"))), lit(0L))
+          .as("chars"))
+      .select((col("n") * 16L + col("chars")).as("bytes"))
+      .head().getLong(0)
+    val autoBar = Dedup.broadcastLimitBytes(spark)
+    val bar = Dedup.parseBytesConf(
+      spark.conf.get("graft.lm.broadcastMaxBytes", "256MB"))
+    val small = autoBar > 0 && modelBytes <= bar
+    def gated(model: DataFrame): DataFrame =
+      if (small) broadcast(model) else model
+
+    bi.join(gated(c2), Seq("w1", "w2"))
+      .join(gated(c1), Seq("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), nll.cast(DecimalType(18, 6)).as("nll"))
       .groupBy("doc_id")

@@ -92,7 +92,11 @@ object RandomProjection {
       .select(col("pair"), col("orig_usq"),
         expr(s"proj_u12 DIV $K").as("est_usq"))
       .select(col("pair"), col("orig_usq"), col("est_usq"),
-        expr("est_usq * 1000 DIV orig_usq").as("ratio_permille"),
+        // NULLIF guard: on an identical probe pair (orig_usq = 0) Spark's
+        // DIV returns NULL but DuckDB's // RAISES — the run would crash
+        // asymmetrically instead of cleanly comparing (r9 advice). Both
+        // engines now yield NULL for that row.
+        expr("est_usq * 1000 DIV nullif(orig_usq, 0)").as("ratio_permille"),
         (col("est_usq") * 10 >= col("orig_usq") * 3 &&
           col("est_usq") <= col("orig_usq") * 2).as("in_band"))
       .orderBy("pair")
@@ -132,7 +136,8 @@ object RandomProjection {
        |  FROM pairs p JOIN (SELECT pair, sum(ddsq) AS proj_sum
        |                     FROM per_plane GROUP BY 1) s USING (pair))
        |SELECT pair, orig_usq, est_usq,
-       |       CAST(est_usq * 1000 // orig_usq AS BIGINT) AS ratio_permille,
+       |       CAST(est_usq * 1000 // NULLIF(orig_usq, 0) AS BIGINT)
+       |         AS ratio_permille,
        |       est_usq * 10 >= orig_usq * 3 AND est_usq <= orig_usq * 2
        |         AS in_band
        |FROM agg ORDER BY pair""".stripMargin

@@ -45,6 +45,14 @@ object Retrieval {
     * idf is the Lucene/ATIRE variant ln(1 + (N - df + 0.5)/(df + 0.5)) —
     * always positive, so high-df terms degrade gracefully instead of
     * flipping sign.
+    *
+    * The df table is QUERY-SIZED by construction: postings are semi-joined
+    * to the (broadcast, tiny) query-term set BEFORE the per-term document
+    * frequencies are aggregated, so `dfreq` holds ≤ |query terms| rows no
+    * matter how large the corpus vocabulary grows — the full-vocab
+    * `groupBy("w")` is never computed. df values for the surviving terms
+    * are identical to the full-vocab aggregate (the semi-join only drops
+    * terms no query ever scores), so the oracle is unchanged.
     */
   def bm25TopK(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
@@ -54,11 +62,15 @@ object Retrieval {
     val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
       sum(col("dl")).cast("double").as("tot"))
     val q = QueryTerms.toDF("qid", "w")
-    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    // Query-term postings only: every downstream table (df, scored rows)
+    // is bounded by Σ_t df(t) over query terms, never the vocabulary.
+    val tfQ = tf.join(broadcast(q.select("w").distinct()), Seq("w"),
+      "left_semi")
+    val dfreq = tfQ.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
 
-    // Single broadcast-joined projection: postings ⋈ query terms ⋈ df ⋈ dl
-    // ⋈ corpus stats. Written so both engines evaluate the identical
-    // left-associated double expression tree.
+    // Single broadcast-joined projection: query-term postings ⋈ query
+    // terms ⋈ df ⋈ dl ⋈ corpus stats. Written so both engines evaluate the
+    // identical left-associated double expression tree.
     val avgdl = col("tot") / col("nd")
     val idf = log(lit(1.0) + (col("nd") - col("df") + lit(0.5)) /
       (col("df") + lit(0.5)))
@@ -67,7 +79,7 @@ object Retrieval {
       (lit(1.0) - lit(B) + lit(B) * col("dl").cast("double") / avgdl)
     val score = round(idf * (tfD * lit(K1 + 1)) / denom, 6)
 
-    val perTerm = tf.join(broadcast(q), "w")
+    val perTerm = tfQ.join(broadcast(q), "w")
       .join(broadcast(dfreq), "w")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
