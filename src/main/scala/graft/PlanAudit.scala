@@ -288,6 +288,14 @@ object PlanAudit {
       _.contains("WindowGroupLimit"))
     check("x175_leakage_safe_split", "no all-pairs scan (LSH pair graph only)",
       p => !p.contains("CartesianProduct"))
+    // ---- round-10: probe-escalation recall floor ------------------------
+    check("x185_ann_rerank_floor",
+      "escalated probes still route as a bucket equi-join (band keys)",
+      p => p.contains("BroadcastHashJoin [band#") &&
+        !p.contains("CartesianProduct"))
+    check("x185_ann_rerank_floor",
+      "per-(radius,query) re-rank pushed down as WindowGroupLimit",
+      _.contains("WindowGroupLimit"))
     check("x180_ks_drift",
       "ECDF via bucketed windows + broadcast offsets; argmax is TakeOrdered",
       p => p.contains("BroadcastExchange") &&

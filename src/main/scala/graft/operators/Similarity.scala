@@ -363,6 +363,75 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** x185: recall-FLOOR certification via probe-sequence escalation — the
+    * production step after x160/x161 expose the recall gap (r9 verdict
+    * #5). The query side enumerates every band value within hamming ≤ 2
+    * of its own (1 + 4 + 6 = 11 probes per band at bandBits=4), each
+    * tagged with its admission level (= mask popcount), and the routing
+    * stays a bucket EQUI-join on (band, bv) with the tiny probe table
+    * broadcast — the same index, a wider probe sequence. Candidates are
+    * exact-cosine re-ranked per (radius, query); the output is the full
+    * recall/BUDGET curve: per (query, radius) the candidate count the
+    * re-rank paid and the recall@k it bought, all as hash-gated integers.
+    *
+    * The tuning story this certifies: pick the smallest radius whose
+    * recall meets the floor ON THE PROBE SET, ship that radius. On this
+    * fixture radius 2 is the first to clear 90 % on every probe query
+    * (`Round10Spec` asserts the floor, that radius 1 misses it — the
+    * escalation is non-vacuous — and that the budget stays strictly below
+    * the corpus, i.e. the floor is met without degenerating to brute
+    * force). The fixture's embeddings are near-uniform, so the radius-2
+    * budget is a large corpus fraction — that is a DATA property the
+    * budget column makes visible, not a plan property: on clustered real
+    * embeddings the same plan meets the floor at a lower radius, and the
+    * curve is what tells you where to stop.
+    *
+    * Scale shape: one corpus pass builds the banded index, probes are
+    * |Q|·bands·11 broadcast rows, the re-rank window is
+    * WindowGroupLimit-pruned per (radius, qid), and the exact side is the
+    * one extra corpus pass every offline recall eval pays by design.
+    */
+  def annRerankFloor(spark: SparkSession, emb: DataFrame): DataFrame = {
+    import RecallCert.{probeSet, k, planes, bands, bandBits}
+    graft.functions.GraftFunctions.register(spark)
+    val banded = bandedSigs(hyperplaneSigs(spark, emb, planes), planes, bands)
+    val qBands = banded.filter(col("vec_id") < probeSet)
+      .select(col("vec_id").as("qid"), col("band"), col("bv"),
+        col("e").as("q"))
+    val masks = (0 until (1 << bandBits))
+      .map(m => (m, Integer.bitCount(m))).filter(_._2 <= 2)
+    val probes = qBands.select(col("qid"), col("band"),
+      explode(array(masks.map { case (m, lv) =>
+        struct(col("bv").bitwiseXOR(lit(m)).as("pbv"), lit(lv).as("lv"))
+      }: _*)).as("p"), col("q"))
+      .select(col("qid"), col("band"), col("p.pbv").as("bv"),
+        col("p.lv").as("lv"), col("q"))
+    // One bucket join admits every radius-≤2 candidate; min mask popcount
+    // over its matches is the candidate's admission level.
+    val cand = banded.join(broadcast(probes), Seq("band", "bv"))
+      .groupBy("qid", "vec_id")
+      .agg(min(col("lv")).as("lvl"),
+        round(cosine(first(col("e")), first(col("q"))), 6).as("cos_sim"))
+    val radii = spark.range(0, 3).select(col("id").as("radius"))
+    val perR = cand.join(broadcast(radii), col("lvl") <= col("radius"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("radius", "qid").orderBy(desc("cos_sim"), asc("vec_id"))
+    val rr = perR.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("radius"), col("qid"), col("vec_id"), lit(1).as("hit"))
+    val budget = perR.groupBy("radius", "qid")
+      .agg(count(lit(1)).as("cands"))
+    val exact = batchCosineTopK(emb, probeSet, k).select("qid", "vec_id")
+    exact.crossJoin(broadcast(radii))
+      .join(rr, Seq("radius", "qid", "vec_id"), "left")
+      .groupBy("radius", "qid")
+      .agg(count(col("hit")).as("n_hits"))
+      .join(budget, Seq("radius", "qid"))
+      .select(col("qid"), col("radius"), col("cands"), col("n_hits"),
+        expr(s"CAST(n_hits * 10000 DIV $k AS BIGINT)").as("recall_per_10k"))
+      .orderBy("qid", "radius")
+  }
+
   /** IVF (inverted-file) ANN: a deterministic k-means coarse quantizer
     * partitions vectors into `nlist` cells; a query probes only the
     * `nprobe` nearest cells and re-ranks exactly within them.
@@ -645,6 +714,45 @@ object Similarity {
        |        LEFT JOIN lshm USING (qid, vec_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // x185: per-pair admission level = min over bands of the band hamming
+  // distance (bucket semantics: a radius-r probe sequence admits exactly
+  // the pairs with level <= r), re-ranked per (radius, qid); budget and
+  // recall per curve point. Shares the recallCtes head with x160/x161.
+  private val annRerankFloorSql = {
+    val lvl = (0 until RecallCert.bands).map(b =>
+      s"bit_count(xor((sg.sig >> ${b * RecallCert.bandBits}) & ${RecallCert.mask}," +
+        s" (q.qsig >> ${b * RecallCert.bandBits}) & ${RecallCert.mask}))")
+      .mkString("least(", ", ", ")")
+    s"""$recallCtesSql,
+       | lv AS (
+       |   SELECT q.qid, e.vec_id, $lvl AS lvl,
+       |          round(list_dot_product(e.v, q.qv)
+       |            / (sqrt(list_dot_product(e.v, e.v))
+       |             * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+       |   FROM e JOIN sg USING (vec_id), q),
+       | r(radius) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)),
+       |                      (CAST(2 AS BIGINT))),
+       | cand AS (SELECT r.radius, lv.qid, lv.vec_id, lv.cos_sim
+       |          FROM lv JOIN r ON lv.lvl <= r.radius),
+       | rr AS (SELECT radius, qid, vec_id FROM (
+       |     SELECT radius, qid, vec_id, row_number() OVER (
+       |       PARTITION BY radius, qid
+       |       ORDER BY cos_sim DESC, vec_id ASC) AS rn
+       |     FROM cand) z WHERE rn <= ${RecallCert.k}),
+       | b AS (SELECT radius, qid, count(*) AS cands
+       |       FROM cand GROUP BY 1, 2)
+       |SELECT b.qid, b.radius, b.cands,
+       |       CAST(count(rr.vec_id) AS BIGINT) AS n_hits,
+       |       CAST(count(rr.vec_id) * 10000 // ${RecallCert.k} AS BIGINT)
+       |         AS recall_per_10k
+       |FROM ex CROSS JOIN r
+       |     LEFT JOIN rr ON rr.radius = r.radius AND rr.qid = ex.qid
+       |                 AND rr.vec_id = ex.vec_id
+       |     JOIN b ON b.radius = r.radius AND b.qid = ex.qid
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
     // Q18 of SURVEY §2.C: exact brute-force cosine top-10 for vec_id=0.
     QueryDef(
@@ -740,6 +848,16 @@ object Similarity {
       "x161_ann_recall_lift",
       (s, dir) => annRecallLift(s, Tables.embeddings(s, dir)),
       Some(annRecallLiftSql)),
+
+    // The recall/budget curve of the escalated probe sequence — every
+    // curve point (radius 0/1/2 × probe query) hash-gated: candidate
+    // budget, hits and per-10k recall. Round10Spec asserts the floor
+    // story on top (radius 2 clears 9000 everywhere, radius 1 doesn't,
+    // budget < corpus).
+    QueryDef(
+      "x185_ann_rerank_floor",
+      (s, dir) => annRerankFloor(s, Tables.embeddings(s, dir)),
+      Some(annRerankFloorSql)),
 
     // The int8 quantization is engine-specific, but the exact re-rank of
     // the top-50 candidates makes the final top-10 EQUAL the brute-force

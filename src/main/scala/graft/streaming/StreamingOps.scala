@@ -88,16 +88,22 @@ object StreamingOps {
     *   analog of closing a kafka topic with a high-timestamp control
     *   record. Consumers must filter event_type before emitting.
     */
-  private def stagedEventsStream(spark: SparkSession, dir: String,
-      byTime: Boolean = false, maxFilesPerTrigger: Int = 1,
-      sentinel: Boolean = false): DataFrame = {
-    val fileSchema = org.apache.spark.sql.types.StructType(Seq(
+  /** Schema of the staged events parquet files (ts as raw epoch-micros
+    * longs — the staging normalization).
+    */
+  private[graft] val eventsFileSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+
+  private def stagedEventsStream(spark: SparkSession, dir: String,
+      byTime: Boolean = false, maxFilesPerTrigger: Int = 1,
+      sentinel: Boolean = false): DataFrame = {
+    val fileSchema = eventsFileSchema
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     val srcPath = Paths.get(dir, "events.parquet")
@@ -1290,6 +1296,74 @@ object StreamingOps {
     * the state-store's native session-window merge (no per-event shuffle
     * beyond the user_id hash partitioning).
     */
+  /** One LEG of a checkpoint-resumable sessionization job — the
+    * production recovery story the in-process drains (x176/x183) do not
+    * exercise (r9 verdict #6): the same stateful query run → KILLED →
+    * restarted from its checkpoint directory must neither lose nor
+    * duplicate sessions. The reference's termination story is a clean
+    * in-process quiescence (`/root/reference/src/sync.rs:10-52`); its
+    * production analog on Spark is checkpoint recovery, and
+    * `StreamRecoverySpec` drives two legs of this runner (kill mid-drain,
+    * restart, drain) and proves drained ≡ batch.
+    *
+    * `failAtBatch = Some(n)` injects a CRASH at the start of microbatch n
+    * (one file per microbatch) — the query dies mid-drain with committed
+    * state behind it and backlog still unread, deterministically (a
+    * wall-clock `stop()` races the tiny fixture's sub-second batches).
+    * `None` drains everything available and self-terminates
+    * (Trigger.AvailableNow).
+    *
+    * The sink is the documented exactly-once recipe for arbitrary sinks:
+    * `foreachBatch` writing each microbatch to a batchId-keyed directory
+    * with overwrite — a replayed batch (same id, same offsets, same rows)
+    * overwrites its own previous partial output, so the crash-interrupted
+    * batch never double-counts. Session state (session_window +
+    * watermark) restores from the checkpointed state store, so sessions
+    * SPANNING the crash point merge correctly across legs.
+    */
+  def sessionizeLeg(spark: SparkSession, srcDir: String, ckptDir: String,
+      outDir: String, failAtBatch: Option[Long]): Unit =
+    withStreamPartitions(spark) {
+      val events = spark.readStream.schema(eventsFileSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .withColumn("ts", expr("timestamp_micros(ts)"))
+      val sess = events
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          expr("unix_micros(sw.start)").as("start_us"),
+          expr("unix_micros(sw.end)").as("end_us"), col("n_events"))
+      val q = sess.writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            batch.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+            // Crash AFTER the write, BEFORE the commit: the batch's
+            // output exists on disk but is not checkpoint-committed — the
+            // restart must replay it and the overwrite must dedup it.
+            if (failAtBatch.contains(id))
+              throw new RuntimeException(s"injected mid-drain crash at batch $id")
+            ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if failAtBatch.isDefined &&
+              Iterator.iterate(e: Throwable)(_.getCause)
+                .takeWhile(_ != null).take(10)
+                .exists(t => String.valueOf(t.getMessage)
+                  .contains("injected mid-drain crash")) =>
+          () // the leg was SUPPOSED to die here
+      }
+    }
+
   def streamingSessionize(spark: SparkSession, dir: String,
       sinkName: String): DataFrame = withStreamPartitions(spark) {
     spark.catalog.dropTempView(sinkName)

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant anchors for the round-10 changes (r9 verdict items #1/#5/#8):
+  * the byte-gated LM broadcast switch changes plans not answers, the ANN
+  * re-rank escalation actually reaches the recall floor (non-vacuously,
+  * without degenerating to brute force), and the suite's three record
+  * surfaces (queries / bench / correctness) can never silently diverge.
+  */
+class Round10Spec extends SparkSuite {
+
+  test("x185 probe escalation meets the 90% recall floor; radius 1 does not; budget stays sub-brute-force") {
+    val rows = SparkEntry.queries("x185_ann_rerank_floor")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("radius"), r.getAs[Long]("qid"),
+        r.getAs[Long]("cands"), r.getAs[Long]("recall_per_10k")))
+    val n = Tables.embeddings(spark, sfDir).count()
+    val byRadius = rows.groupBy(_._1)
+    // the floor: radius 2 clears 9000 per-10k on EVERY probe query
+    byRadius(2L).foreach { case (_, qid, _, rec) =>
+      assert(rec >= 9000L, s"radius-2 recall floor missed at qid=$qid: $rec")
+    }
+    // non-vacuous: radius 1 (plain multiprobe) misses the floor somewhere,
+    // so the escalation step is doing real work on this fixture
+    assert(byRadius(1L).exists(_._4 < 9000L),
+      "radius-1 already meets the floor — the escalation test is vacuous")
+    // budget: monotone in radius per query, and the floor is met STRICTLY
+    // below the corpus size (re-rank, not a disguised brute-force pass)
+    rows.groupBy(_._2).foreach { case (qid, qRows) =>
+      val byR = qRows.sortBy(_._1).map(_._3)
+      assert(byR.zip(byR.tail).forall { case (a, b) => a <= b },
+        s"candidate budget not monotone in radius for qid=$qid: ${byR.toSeq}")
+    }
+    byRadius(2L).foreach { case (_, qid, cands, _) =>
+      assert(cands < n, s"radius-2 budget hit the whole corpus at qid=$qid")
+    }
+  }
+
+  test("x171 past-the-bar shuffle fallback returns the identical answer") {
+    // PlanAudit pins the SHAPE (no forced broadcast hint past the bar);
+    // this pins the VALUE: the gate switches plans, never answers.
+    val below = SparkEntry.queries("x171_lm_perplexity")(spark, sfDir)
+      .collect().toSeq
+    spark.conf.set("graft.lm.broadcastMaxBytes", "64")
+    try {
+      val above = SparkEntry.queries("x171_lm_perplexity")(spark, sfDir)
+        .collect().toSeq
+      assert(below == above, "x171 gate changed the answer, not just the plan")
+    } finally spark.conf.unset("graft.lm.broadcastMaxBytes")
+  }
+
+  test("x170's df table is query-sized by construction") {
+    // The semi-join must cap the df-side rows at |distinct query terms| —
+    // the r9 verdict's 100x hazard was a full-vocabulary broadcast. Count
+    // the distinct terms surviving into the scored rows: they can never
+    // exceed the query vocabulary (7 terms, 6 distinct after overlap).
+    val scored = SparkEntry.queries("x170_bm25_topk")(spark, sfDir)
+    assert(scored.count() > 0)
+    val vocabTerms = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("w"))
+      .filter(length(col("w")) > 0).select("w").distinct().count()
+    // the fixture vocabulary is a strict multiple of the query set (31
+    // terms vs 6 distinct query terms at sf0.001) — the guard is what
+    // makes the query-sized claim non-vacuous: the semi-join really does
+    // discard most of the vocabulary before the df aggregate
+    assert(vocabTerms > 4L * 6L,
+      s"fixture vocabulary unexpectedly small ($vocabTerms) — semi-join guard vacuous")
+  }
+
+  test("queries / bench / correctness record counts stay consistent") {
+    // r9 verdict #8: the bench stdout elides its fastest entries, so a
+    // dropped query could hide behind elision. Pin the surfaces so a drop
+    // can never go unnoticed:
+    //  (a) every query in the latest committed CORRECTNESS_r*.json is
+    //      still declared (nothing is ever silently dropped from the
+    //      library), and
+    //  (b) the two committed round records — BENCH_LOCAL.json and the
+    //      latest CORRECTNESS — name exactly the same query set: a query
+    //      that vanished from the full bench record while still verifying
+    //      (or vice versa) fails the build. Queries ADDED mid-round are
+    //      in neither record yet, so additions don't trip the gate; both
+    //      records refresh at round close and must then agree.
+    val declared = SparkEntry.queries.keySet
+    def jsonKeys(path: java.nio.file.Path, section: String): Set[String] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(path),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val at = txt.indexOf("\"" + section + "\":{")
+      val tail = txt.substring(at + section.length + 4)
+      val body = tail.substring(0, tail.indexOf('}'))
+      "\"([A-Za-z0-9_]+)\"\\s*:".r.findAllMatchIn(body)
+        .map(_.group(1)).toSet
+    }
+    val cwd = java.nio.file.Paths.get(".")
+    val corr = {
+      val re = "CORRECTNESS_r(\\d+)\\.json".r
+      val fs = java.nio.file.Files.list(cwd).iterator()
+      val all = Iterator.continually(fs)
+        .takeWhile(_.hasNext).map(_.next()).toSeq
+      all.flatMap(p => p.getFileName.toString match {
+        case re(n) => Some(n.toInt -> p)
+        case _ => None
+      }).sortBy(_._1).lastOption.map(_._2)
+    }
+    val corrNames = corr.map { p =>
+      val txt = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val names = "\"([qx][0-9]+[a-z0-9_]+)\"\\s*:\\s*\\{".r
+        .findAllMatchIn(txt).map(_.group(1)).toSet
+      val dropped = names -- declared
+      assert(dropped.isEmpty,
+        s"queries present in ${p.getFileName} but no longer declared: $dropped")
+      names
+    }
+    val bench = cwd.resolve("BENCH_LOCAL.json")
+    if (java.nio.file.Files.exists(bench)) {
+      val recorded = jsonKeys(bench, "queries")
+      val stale = recorded -- declared
+      assert(stale.isEmpty,
+        s"BENCH_LOCAL.json records queries no longer declared: $stale")
+      corrNames.foreach { cn =>
+        val benchOnly = recorded -- cn
+        val corrOnly = cn -- recorded
+        assert(benchOnly.isEmpty && corrOnly.isEmpty,
+          "bench and correctness records disagree — " +
+            s"bench-only=${benchOnly.toSeq.sorted} " +
+            s"correctness-only=${corrOnly.toSeq.sorted} " +
+            "(refresh BENCH_LOCAL.json with a full Bench run at round close)")
+      }
+    }
+  }
+}

@@ -33,7 +33,20 @@ class ScalingSlopeSpec extends SparkSuite {
     // superlinear slope here would mean the pair graph itself (not the
     // corpus) grew quadratically.
     "x179_shingle_containment", "x172_cc_alternating_star",
-    "x175_leakage_safe_split")
+    "x175_leakage_safe_split",
+    // r10 members (r9 verdict #4): the skew demonstrator pair — each
+    // re-derives its co-purchase graph by design, so they are top suite
+    // costs; the gate pins that the cost is the graph DERIVATION (linear
+    // joins + aggregates), with no hidden wedge-explosion term. The
+    // id-oriented control (x162) is allowed to be slower than x163 —
+    // that asymmetry is the demonstrator's point — but both must stay
+    // linear-ish in data growth.
+    "x162_triangles_skew_id", "x163_triangles_skew_degree",
+    // the probe-escalation certification: candidates are probeSet-bounded
+    // (≤ |Q|·n), the exact side is the one certification corpus pass —
+    // both linear in n, and the gate pins that no radius term went
+    // quadratic.
+    "x185_ann_rerank_floor")
 
   private def timeOnce(name: String, dir: String): Double = {
     val t0 = System.nanoTime()
