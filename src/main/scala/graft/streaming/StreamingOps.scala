@@ -865,8 +865,17 @@ object StreamingOps {
     */
   def streamingLateData(spark: SparkSession, dir: String): DataFrame =
     withStreamPartitions(spark) {
-      val state = scala.collection.concurrent.TrieMap
-        .empty[(java.sql.Timestamp, String), Long]
+      // Update-mode rows carry each touched key's CURRENT total, so the
+      // sink is a per-key last-write-wins upsert. DISTRIBUTED: each
+      // microbatch merges into a parquet generation (prior snapshot
+      // anti-join batch keys ∪ batch) — the result table never lives on
+      // the driver (closes the r8/r9 "bounded driver map" acceptable —
+      // at scale (windows × types) need not stay driver-sized, and this
+      // shape doesn't care).
+      val runDir = java.nio.file.Files
+        .createTempDirectory("graft_x155_upsert_").toString
+      var cur: Option[String] = None
+      var gen = 0
       val q = stagedDisorderedEventsStream(spark, dir)
         .withColumn("tsc", expr("timestamp_micros(ts)"))
         .withWatermark("tsc", "1 hour")
@@ -876,19 +885,24 @@ object StreamingOps {
         .writeStream
         .outputMode(OutputMode.Update())
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          // Update-mode rows carry each touched key's CURRENT total —
-          // upsert into the (windows × types)-bounded result map.
-          batch.collect().foreach { r =>
-            state.put((r.getTimestamp(0), r.getString(1)), r.getLong(2))
+          val delta = batch.persist()
+          val merged = cur match {
+            case None => delta
+            case Some(p) => spark.read.parquet(p)
+              .join(delta, Seq("w_start", "event_type"), "left_anti")
+              .unionByName(delta)
           }
+          val next = s"$runDir/v$gen"
+          gen += 1
+          merged.write.mode("overwrite").parquet(next)
+          delta.unpersist()
+          cur = Some(next)
           ()
         }
         .start()
       q.processAllAvailable()
       q.stop()
-      import spark.implicits._
-      state.toSeq.map { case ((w, t), c) => (w, t, c) }
-        .toDF("w_start", "event_type", "c")
+      spark.read.parquet(cur.getOrElse(sys.error("no microbatch ran")))
         .orderBy("w_start", "event_type")
     }
 
