@@ -408,7 +408,7 @@ object Round6bQueries {
       |FROM bq GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   /** The co-purchase UNDIRECTED edge set, canonicalized as (u < v). */
-  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+  private[queries] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val op = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()

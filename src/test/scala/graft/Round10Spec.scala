@@ -37,6 +37,31 @@ class Round10Spec extends SparkSuite {
     }
   }
 
+  test("x186 peeling is a genuine multi-round cascade; the dense base survives intact") {
+    val (out, rounds) = queries.Round10Queries.kcorePeelWithRounds(spark, sfDir)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val chainLen = queries.Round10Queries.ChainLen.toLong
+    // the chain burns one node per round from its free end: max peel
+    // round == chain length, plus one confirm round to prove fixpoint
+    assert(rows.map(_._2).max == chainLen,
+      s"max peel round ${rows.map(_._2).max} != planted chain length $chainLen")
+    assert(rounds == chainLen + 1,
+      s"measured $rounds rounds — expected ${chainLen + 1} (burn + confirm)")
+    // every round removes exactly one node per planted chain (the cascade
+    // is strictly sequential, not a one-shot sweep)
+    val perRound = rows.filter(_._2 > 0).groupBy(_._2).map { case (r, v) => r -> v.size }
+    val nChains = perRound(1L)
+    assert(nChains >= 1 && (1L to chainLen).forall(r => perRound(r) == nChains),
+      s"removals per round not one-per-chain: $perRound")
+    // the dense co-purchase base survives in full: removed ids are all
+    // planted (> max partkey), and the core is nonempty
+    val maxp = Tables.part(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.max("p_partkey")).head().getLong(0)
+    assert(rows.filter(_._2 > 0).forall(_._1 > maxp),
+      "a base-graph node was peeled — the dense base should survive k=2")
+    assert(rows.count(_._2 == 0) > 0)
+  }
+
   test("x171 past-the-bar shuffle fallback returns the identical answer") {
     // PlanAudit pins the SHAPE (no forced broadcast hint past the bar);
     // this pins the VALUE: the gate switches plans, never answers.
