@@ -296,6 +296,14 @@ object PlanAudit {
     check("x185_ann_rerank_floor",
       "per-(radius,query) re-rank pushed down as WindowGroupLimit",
       _.contains("WindowGroupLimit"))
+    check("x187_mix_apportion",
+      "quota table broadcast; selection window partitions on source",
+      p => p.contains("BroadcastHashJoin") &&
+        p.contains("hashpartitioning(source") &&
+        !p.contains("SinglePartition, Window"))
+    check("x188_priority_sample",
+      "weighted top-k as TakeOrdered (no global sort of the corpus)",
+      _.contains("TakeOrderedAndProject"))
     check("x180_ks_drift",
       "ECDF via bucketed windows + broadcast offsets; argmax is TakeOrdered",
       p => p.contains("BroadcastExchange") &&

@@ -151,9 +151,149 @@ object Round10Queries {
        |ORDER BY node""".stripMargin
   }
 
+  // ---- x187: exact data-recipe apportionment ---------------------------
+
+  /** Sampling budget as a fraction of the corpus: N = |docs|·2 DIV 5. */
+  private val BudgetNum = 2
+  private val BudgetDen = 5
+
+  /** x187: largest-remainder (Hamilton) apportionment of a document
+    * budget across sources — the data-recipe mixing step ("20 % code,
+    * 40 % web…") done EXACTLY: per-source integer quotas that sum to the
+    * budget by construction, not by float rounding luck.
+    *
+    * All arithmetic is integer (floor = N·w DIV W, remainder = N·w mod
+    * W), so there is no cross-engine float hazard at all (the §7.4
+    * midpoint rule satisfied trivially). The remainder ranking uses the
+    * x70 join-rank idiom on the source-cardinality table — NO global
+    * window anywhere (the suite-wide gate). Selection is a per-source
+    * row_number against the broadcast quota table.
+    *
+    * Scale shape: quotas live on the (tiny) source dimension — one
+    * aggregate over the corpus, then a broadcast join back; the per-source
+    * selection window partitions on source. Weights here derive
+    * deterministically from the source name (ascii of last char mod 5 +
+    * 1) so the oracle replays them; in production they are the recipe
+    * table.
+    */
+  private def mixApportion(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir)
+    val perSrc = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .withColumn("w",
+        pmod(ascii(expr("substr(source, length(source), 1)")), lit(5)) + 1)
+    val tw = perSrc.agg(sum(col("w")).as("bigw"))
+    val nt = docs.agg(
+      expr(s"count(1) * $BudgetNum DIV $BudgetDen").as("n_budget"))
+    val base = perSrc.crossJoin(broadcast(tw)).crossJoin(broadcast(nt))
+      .select(col("source"), col("n_src"),
+        expr("n_budget * w DIV bigw").as("fl"),
+        expr("(n_budget * w) % bigw").as("rem"))
+    // join-rank of remainders (strict total order via the source tiebreak)
+    val ranked = base.as("a").join(base.as("b"),
+        col("b.rem") > col("a.rem") ||
+          (col("b.rem") === col("a.rem") && col("b.source") < col("a.source")),
+        "left")
+      .groupBy(col("a.source").as("source"), col("a.fl").as("fl"))
+      .agg(count(col("b.source")).as("ahead"))
+    val sumFl = base.agg(sum(col("fl")).as("sumfl"))
+    val alloc = ranked.crossJoin(broadcast(sumFl)).crossJoin(broadcast(nt))
+      .select(col("source"),
+        (col("fl") + when(col("ahead") < col("n_budget") - col("sumfl"), 1L)
+          .otherwise(0L)).as("alloc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    docs.join(broadcast(alloc), "source")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("alloc"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  private val mixApportionSql: String =
+    s"""WITH ps AS (SELECT source, count(*) AS n_src,
+       |                   (ascii(substr(source, length(source), 1)) % 5) + 1 AS w
+       |            FROM documents GROUP BY 1),
+       | tw AS (SELECT sum(w) AS bigw FROM ps),
+       | nt AS (SELECT count(*) * $BudgetNum // $BudgetDen AS n_budget
+       |        FROM documents),
+       | base AS (SELECT ps.source, ps.n_src,
+       |                 (nt.n_budget * ps.w) // tw.bigw AS fl,
+       |                 (nt.n_budget * ps.w) % tw.bigw AS rem
+       |          FROM ps, tw, nt),
+       | rk AS (SELECT a.source, a.fl, count(b.source) AS ahead
+       |        FROM base a LEFT JOIN base b
+       |          ON b.rem > a.rem OR (b.rem = a.rem AND b.source < a.source)
+       |        GROUP BY 1, 2),
+       | sf AS (SELECT sum(fl) AS sumfl FROM base),
+       | alloc AS (SELECT rk.source,
+       |                  rk.fl + CASE WHEN rk.ahead < nt.n_budget - sf.sumfl
+       |                               THEN 1 ELSE 0 END AS alloc
+       |           FROM rk, sf, nt)
+       |SELECT d.doc_id, d.source
+       |FROM (SELECT doc_id, source,
+       |             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+       |               AS rn
+       |      FROM documents) d
+       |JOIN alloc USING (source)
+       |WHERE d.rn <= alloc.alloc
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- x188: weighted priority sampling --------------------------------
+
+  private val SampleK = 100
+
+  /** x188: weight-proportional sampling without replacement via PRIORITY
+    * sampling (Duffield–Lund–Thorup): each doc gets priority w/u with u a
+    * deterministic hash-uniform in (0, 2³¹], and the sample is the top-k
+    * by priority — the standard one-pass weighted subsample at scale
+    * (inclusion probability ∝ weight, no global shuffle, TakeOrdered
+    * instead of a sort). Weight = document length (the "sample
+    * proportional to token count" recipe).
+    *
+    * Determinism: u comes from the established xorshift-multiply chain
+    * (the planesSql idiom — replayed bit-for-bit in the oracle), and the
+    * ranking double w/(u+1) is one exactly-rounded IEEE division on both
+    * engines, used ONLY for ordering (never emitted); ties break by
+    * doc_id.
+    */
+  private def prioritySample(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("w"),
+        expr("((doc_id + 1) * 2654435761) % 2147483648").as("s0"))
+      .select(col("doc_id"), col("w"),
+        expr("((s0 ^ shiftright(s0, 15)) * 2246822519) % 2147483648")
+          .as("s2"))
+      .select(col("doc_id"), col("w"),
+        expr("((s2 ^ shiftright(s2, 13)) * 3266489917) % 2147483648")
+          .as("s4"))
+      .select(col("doc_id"), col("w"),
+        expr("s4 ^ shiftright(s4, 16)").as("u"))
+      .orderBy(expr("CAST(w AS DOUBLE) / (u + 1)").desc, col("doc_id"))
+      .limit(SampleK)
+      .select(col("doc_id"), col("w"))
+
+  private val prioritySampleSql: String =
+    s"""SELECT doc_id, w FROM (
+       |  SELECT doc_id, w, xor(s4, s4 >> 16) AS u FROM (
+       |    SELECT doc_id, w, (xor(s2, s2 >> 13) * 3266489917) % 2147483648 AS s4 FROM (
+       |      SELECT doc_id, w, (xor(s0, s0 >> 15) * 2246822519) % 2147483648 AS s2 FROM (
+       |        SELECT doc_id, length(text) AS w,
+       |               ((doc_id + 1) * 2654435761) % 2147483648 AS s0
+       |        FROM documents))))
+       |ORDER BY CAST(w AS DOUBLE) / (u + 1) DESC, doc_id
+       |LIMIT $SampleK""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "x186_kcore_peel",
       (s, dir) => kcorePeelWithRounds(s, dir)._1,
-      Some(kcoreSql)))
+      Some(kcoreSql)),
+    QueryDef(
+      "x187_mix_apportion",
+      mixApportion,
+      Some(mixApportionSql)),
+    QueryDef(
+      "x188_priority_sample",
+      prioritySample,
+      Some(prioritySampleSql)))
 }

@@ -62,6 +62,40 @@ class Round10Spec extends SparkSuite {
     assert(rows.count(_._2 == 0) > 0)
   }
 
+  test("x187 apportionment sums exactly to the budget with non-uniform quotas") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val budget = n * 2L / 5L
+    val sel = SparkEntry.queries("x187_mix_apportion")(spark, sfDir)
+    assert(sel.count() == budget,
+      s"largest-remainder allocation must sum EXACTLY to the budget $budget")
+    val perSrc = sel.groupBy("source").count().collect()
+      .map(_.getLong(1)).toSeq
+    // weights vary across sources (ascii-derived 1..5), so a correct
+    // apportionment cannot be uniform
+    assert(perSrc.distinct.size > 1,
+      s"per-source quotas unexpectedly uniform: $perSrc")
+    // every source's quota is satisfiable (selection can't exceed n_src,
+    // so an equality with the budget also proves no quota was truncated)
+    assert(perSrc.sum == budget)
+  }
+
+  test("x188 priority sample is weight-biased toward long documents") {
+    val docs = Tables.documents(spark, sfDir)
+    val sample = SparkEntry.queries("x188_priority_sample")(spark, sfDir)
+      .collect()
+    assert(sample.length == 100)
+    val sampleMean = sample.map(_.getAs[Long]("w")).sum.toDouble / 100
+    val corpusMean = docs
+      .agg(org.apache.spark.sql.functions.avg(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text"))))
+      .head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weight-proportional sample mean length $sampleMean should exceed " +
+        s"the corpus mean $corpusMean")
+  }
+
   test("x171 past-the-bar shuffle fallback returns the identical answer") {
     // PlanAudit pins the SHAPE (no forced broadcast hint past the bar);
     // this pins the VALUE: the gate switches plans, never answers.
