@@ -103,6 +103,12 @@ object Round10Queries {
         deg = next
       }
     }
+    // The convergence round was the edge list's last consumer: the output
+    // below reads only the checkpointed deg/doomed iterates, so drop the
+    // suite's largest checkpoint (the full edge list) NOW — otherwise its
+    // blocks pin executor memory for the rest of a Verify/library session
+    // (the x137 co-tenancy lesson; Bench's post-query sweep masks it).
+    graft.QueryDef.dropCheckpoint(e0)
     val core = deg.select(col("x").as("node"), lit(0L).as("peel_round"))
     val out = removed.map(_.select(col("x").as("node"), col("peel_round")))
       .reduceOption(_.unionByName(_))
@@ -157,78 +163,167 @@ object Round10Queries {
   private val BudgetNum = 2
   private val BudgetDen = 5
 
-  /** x187: largest-remainder (Hamilton) apportionment of a document
-    * budget across sources — the data-recipe mixing step ("20 % code,
-    * 40 % web…") done EXACTLY: per-source integer quotas that sum to the
-    * budget by construction, not by float rounding luck.
-    *
-    * All arithmetic is integer (floor = N·w DIV W, remainder = N·w mod
-    * W), so there is no cross-engine float hazard at all (the §7.4
-    * midpoint rule satisfied trivially). The remainder ranking uses the
-    * x70 join-rank idiom on the source-cardinality table — NO global
-    * window anywhere (the suite-wide gate). Selection is a per-source
-    * row_number against the broadcast quota table.
-    *
-    * Scale shape: quotas live on the (tiny) source dimension — one
-    * aggregate over the corpus, then a broadcast join back; the per-source
-    * selection window partitions on source. Weights here derive
-    * deterministically from the source name (ascii of last char mod 5 +
-    * 1) so the oracle replays them; in production they are the recipe
-    * table.
+  /** Oracle unroll bound for the cap-redistribute fixpoint: > the measured
+    * rounds at every SF (fixture: 2 — cap src0, re-apportion, feasible).
+    * Trailing rounds are provable no-ops: an empty over-set leaves the
+    * capped set — and therefore every downstream CTE — unchanged.
     */
-  private def mixApportion(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables.documents(s, dir)
-    val perSrc = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+  private val ApportionRounds = 4
+
+  /** Planted recipe weight (hazard grafted, the x162/x186 fixture idiom):
+    * src0 is over-weighted so its round-1 Hamilton quota provably exceeds
+    * its document count at every SF (40/96 of a 40 % budget ≈ 0.17·N vs a
+    * 0.05·N source), forcing the capacity cascade the operator exists to
+    * handle. The other weights derive deterministically from the source
+    * name (ascii of last char mod 5 + 1) so the oracle replays them; in
+    * production this is the recipe table.
+    */
+  private def recipeSources(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_src"))
       .withColumn("w",
-        pmod(ascii(expr("substr(source, length(source), 1)")), lit(5)) + 1)
-    val tw = perSrc.agg(sum(col("w")).as("bigw"))
+        when(col("source") === "src0", lit(40L))
+          .otherwise((pmod(ascii(expr("substr(source, length(source), 1)")),
+            lit(5)) + 1).cast("long")))
+
+  /** x187: capacity-capped largest-remainder (Hamilton) apportionment of a
+    * document budget across sources — the data-recipe mixing step ("20 %
+    * code, 40 % web…") done EXACTLY: per-source integer quotas that sum to
+    * the budget by construction AND never exceed what a source can supply.
+    * A quota past a source's document count would silently undershoot the
+    * budget at selection time (the truncation failure mode), so any
+    * over-quota source is fixed at capacity and the residual budget is
+    * re-apportioned among the rest — the standard constrained-apportionment
+    * fixpoint, ≤ |sources| rounds (each round caps ≥ 1 new source or
+    * terminates; the residual stays positive because each capped source's
+    * capacity is strictly below the quota it replaced). Feasibility holds
+    * by construction: budget = 2/5 of the corpus < Σ capacities.
+    *
+    * All arithmetic is integer (floor = R·w DIV W, remainder = R·w mod W),
+    * so there is no cross-engine float hazard at all (the §7.4 midpoint
+    * rule satisfied trivially). The remainder ranking uses the x70
+    * join-rank idiom on the source-cardinality table — NO global window
+    * anywhere (the suite-wide gate). Selection is a per-source row_number
+    * against the broadcast quota table.
+    *
+    * Scale shape: the fixpoint iterates on the (tiny, checkpointed) source
+    * dimension — the corpus is touched exactly twice regardless of round
+    * count: one aggregate to build it, one broadcast join back to select.
+    * The DuckDB oracle unrolls the SAME cascade [[ApportionRounds]] times
+    * (> measured rounds, trailing no-ops), hash-certifying every round.
+    */
+  private[graft] def mixApportionWithRounds(s: SparkSession, dir: String)
+      : (DataFrame, Int) = {
+    val docs = graft.Tables.documents(s, dir)
+    val ps = recipeSources(s, dir).localCheckpoint()
     val nt = docs.agg(
       expr(s"count(1) * $BudgetNum DIV $BudgetDen").as("n_budget"))
-    val base = perSrc.crossJoin(broadcast(tw)).crossJoin(broadcast(nt))
-      .select(col("source"), col("n_src"),
-        expr("n_budget * w DIV bigw").as("fl"),
-        expr("(n_budget * w) % bigw").as("rem"))
-    // join-rank of remainders (strict total order via the source tiebreak)
-    val ranked = base.as("a").join(base.as("b"),
-        col("b.rem") > col("a.rem") ||
-          (col("b.rem") === col("a.rem") && col("b.source") < col("a.source")),
-        "left")
-      .groupBy(col("a.source").as("source"), col("a.fl").as("fl"))
-      .agg(count(col("b.source")).as("ahead"))
-    val sumFl = base.agg(sum(col("fl")).as("sumfl"))
-    val alloc = ranked.crossJoin(broadcast(sumFl)).crossJoin(broadcast(nt))
-      .select(col("source"),
-        (col("fl") + when(col("ahead") < col("n_budget") - col("sumfl"), 1L)
-          .otherwise(0L)).as("alloc"))
+      .localCheckpoint()
+    var capped = ps.filter(lit(false)).localCheckpoint()
+    var alloc: DataFrame = null
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      val active = ps.join(capped.select("source"), Seq("source"), "left_anti")
+      val rb = nt.crossJoin(
+          capped.agg(coalesce(sum("n_src"), lit(0L)).as("fixed")))
+        .select((col("n_budget") - col("fixed")).as("rb"))
+      val tw = active.agg(sum("w").as("bigw"))
+      val base = active.crossJoin(broadcast(tw)).crossJoin(broadcast(rb))
+        .select(col("source"), col("n_src"),
+          expr("rb * w DIV bigw").as("fl"),
+          expr("(rb * w) % bigw").as("rem"))
+      // join-rank of remainders (strict total order via the source tiebreak)
+      val ranked = base.as("a").join(base.as("b"),
+          col("b.rem") > col("a.rem") ||
+            (col("b.rem") === col("a.rem") &&
+              col("b.source") < col("a.source")),
+          "left")
+        .groupBy(col("a.source").as("source"), col("a.n_src").as("n_src"),
+          col("a.fl").as("fl"))
+        .agg(count(col("b.source")).as("ahead"))
+      val sumFl = base.agg(coalesce(sum("fl"), lit(0L)).as("sumfl"))
+      val q = ranked.crossJoin(broadcast(sumFl)).crossJoin(broadcast(rb))
+        .select(col("source"), col("n_src"),
+          (col("fl") + when(col("ahead") < col("rb") - col("sumfl"), 1L)
+            .otherwise(0L)).as("alloc"))
+        .localCheckpoint()
+      val over = q.filter(col("alloc") > col("n_src"))
+      if (over.isEmpty) {
+        converged = true
+        alloc = q.select(col("source"), col("alloc"))
+          .unionByName(capped.select(col("source"), col("n_src").as("alloc")))
+      } else {
+        val nextCapped = capped.unionByName(
+          over.join(ps.select(col("source"), col("w")), Seq("source"))
+            .select(col("source"), col("n_src"), col("w")))
+          .localCheckpoint()
+        graft.QueryDef.dropCheckpoint(capped)
+        graft.QueryDef.dropCheckpoint(q)
+        capped = nextCapped
+      }
+    }
+    // ps/nt fed only the (now-checkpointed) final q/capped iterates — drop
+    // them; the final iterates stay live as the alloc table's lineage.
+    graft.QueryDef.dropCheckpoint(ps)
+    graft.QueryDef.dropCheckpoint(nt)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
-    docs.join(broadcast(alloc), "source")
+    val sel = docs.join(broadcast(alloc), "source")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("alloc"))
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
+    (sel, rounds)
   }
 
-  private val mixApportionSql: String =
-    s"""WITH ps AS (SELECT source, count(*) AS n_src,
-       |                   (ascii(substr(source, length(source), 1)) % 5) + 1 AS w
-       |            FROM documents GROUP BY 1),
-       | tw AS (SELECT sum(w) AS bigw FROM ps),
-       | nt AS (SELECT count(*) * $BudgetNum // $BudgetDen AS n_budget
-       |        FROM documents),
-       | base AS (SELECT ps.source, ps.n_src,
-       |                 (nt.n_budget * ps.w) // tw.bigw AS fl,
-       |                 (nt.n_budget * ps.w) % tw.bigw AS rem
-       |          FROM ps, tw, nt),
-       | rk AS (SELECT a.source, a.fl, count(b.source) AS ahead
-       |        FROM base a LEFT JOIN base b
-       |          ON b.rem > a.rem OR (b.rem = a.rem AND b.source < a.source)
-       |        GROUP BY 1, 2),
-       | sf AS (SELECT sum(fl) AS sumfl FROM base),
-       | alloc AS (SELECT rk.source,
-       |                  rk.fl + CASE WHEN rk.ahead < nt.n_budget - sf.sumfl
-       |                               THEN 1 ELSE 0 END AS alloc
-       |           FROM rk, sf, nt)
+  private val mixApportionSql: String = {
+    val base =
+      s"""WITH ps AS MATERIALIZED (
+         |   SELECT source, count(*) AS n_src,
+         |          CASE WHEN source = 'src0' THEN 40
+         |               ELSE (ascii(substr(source, length(source), 1)) % 5) + 1
+         |          END AS w
+         |   FROM documents GROUP BY 1),
+         | nt AS (SELECT count(*) * $BudgetNum // $BudgetDen AS n_budget
+         |        FROM documents),
+         | cap0 AS MATERIALIZED (SELECT source, n_src, w FROM ps WHERE 1 = 0)""".stripMargin
+    val rounds = (1 to ApportionRounds).map { r =>
+      s""" act$r AS MATERIALIZED (
+         |   SELECT * FROM ps
+         |   WHERE source NOT IN (SELECT source FROM cap${r - 1})),
+         | rb$r AS MATERIALIZED (
+         |   SELECT nt.n_budget
+         |          - coalesce((SELECT sum(n_src) FROM cap${r - 1}), 0) AS rb
+         |   FROM nt),
+         | base$r AS MATERIALIZED (
+         |   SELECT a.source, a.n_src,
+         |          (rb.rb * a.w) // tw.bigw AS fl,
+         |          (rb.rb * a.w) % tw.bigw AS rem
+         |   FROM act$r a, rb$r rb, (SELECT sum(w) AS bigw FROM act$r) tw),
+         | q$r AS MATERIALIZED (
+         |   SELECT a.source, a.n_src,
+         |          a.fl + CASE WHEN rk.ahead < rb.rb - sf.sumfl
+         |                      THEN 1 ELSE 0 END AS alloc
+         |   FROM base$r a
+         |   JOIN (SELECT x.source, count(b.source) AS ahead
+         |         FROM base$r x LEFT JOIN base$r b
+         |           ON b.rem > x.rem OR (b.rem = x.rem AND b.source < x.source)
+         |         GROUP BY 1) rk ON rk.source = a.source,
+         |        rb$r rb, (SELECT sum(fl) AS sumfl FROM base$r) sf),
+         | cap$r AS MATERIALIZED (
+         |   SELECT * FROM cap${r - 1}
+         |   UNION ALL
+         |   SELECT q.source, q.n_src, p.w
+         |   FROM q$r q JOIN ps p ON p.source = q.source
+         |   WHERE q.alloc > q.n_src)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds,
+       | alloc AS (SELECT source, alloc FROM q$ApportionRounds
+       |           UNION ALL
+       |           SELECT source, n_src AS alloc FROM cap$ApportionRounds)
        |SELECT d.doc_id, d.source
        |FROM (SELECT doc_id, source,
        |             row_number() OVER (PARTITION BY source ORDER BY doc_id)
@@ -237,6 +332,7 @@ object Round10Queries {
        |JOIN alloc USING (source)
        |WHERE d.rn <= alloc.alloc
        |ORDER BY doc_id""".stripMargin
+  }
 
   // ---- x188: weighted priority sampling --------------------------------
 
@@ -254,12 +350,19 @@ object Round10Queries {
     * (the planesSql idiom — replayed bit-for-bit in the oracle), and the
     * ranking double w/(u+1) is one exactly-rounded IEEE division on both
     * engines, used ONLY for ordering (never emitted); ties break by
-    * doc_id.
+    * doc_id. Unlike the chain's other call sites (plane indexes, ~10³),
+    * the seed here is a corpus-scale doc_id, so it is reduced mod 2³¹
+    * BEFORE the multiply — an unreduced id ≥ 2⁶³/2654435761 ≈ 3.5·10⁹
+    * would overflow int64, where Spark wraps silently and DuckDB errors.
+    * Weight reads the fixture's stored n_chars, not length(text): the
+    * only use of text would be its length, and rederiving it drags the
+    * corpus's fattest column through the scan (column pruning defeated).
     */
   private def prioritySample(s: SparkSession, dir: String): DataFrame =
     graft.Tables.documents(s, dir)
-      .select(col("doc_id"), length(col("text")).cast("long").as("w"),
-        expr("((doc_id + 1) * 2654435761) % 2147483648").as("s0"))
+      .select(col("doc_id"), col("n_chars").as("w"),
+        expr("((doc_id % 2147483648 + 1) * 2654435761) % 2147483648")
+          .as("s0"))
       .select(col("doc_id"), col("w"),
         expr("((s0 ^ shiftright(s0, 15)) * 2246822519) % 2147483648")
           .as("s2"))
@@ -277,8 +380,8 @@ object Round10Queries {
        |  SELECT doc_id, w, xor(s4, s4 >> 16) AS u FROM (
        |    SELECT doc_id, w, (xor(s2, s2 >> 13) * 3266489917) % 2147483648 AS s4 FROM (
        |      SELECT doc_id, w, (xor(s0, s0 >> 15) * 2246822519) % 2147483648 AS s2 FROM (
-       |        SELECT doc_id, length(text) AS w,
-       |               ((doc_id + 1) * 2654435761) % 2147483648 AS s0
+       |        SELECT doc_id, n_chars AS w,
+       |               ((doc_id % 2147483648 + 1) * 2654435761) % 2147483648 AS s0
        |        FROM documents))))
        |ORDER BY CAST(w AS DOUBLE) / (u + 1) DESC, doc_id
        |LIMIT $SampleK""".stripMargin
@@ -290,7 +393,7 @@ object Round10Queries {
       Some(kcoreSql)),
     QueryDef(
       "x187_mix_apportion",
-      mixApportion,
+      (s, dir) => mixApportionWithRounds(s, dir)._1,
       Some(mixApportionSql)),
     QueryDef(
       "x188_priority_sample",

@@ -50,8 +50,9 @@ class Round10Spec extends SparkSuite {
     // every round removes exactly one node per planted chain (the cascade
     // is strictly sequential, not a one-shot sweep)
     val perRound = rows.filter(_._2 > 0).groupBy(_._2).map { case (r, v) => r -> v.size }
-    val nChains = perRound(1L)
-    assert(nChains >= 1 && (1L to chainLen).forall(r => perRound(r) == nChains),
+    val nChains = perRound.getOrElse(1L, 0)
+    assert(nChains >= 1 &&
+        (1L to chainLen).forall(r => perRound.getOrElse(r, 0) == nChains),
       s"removals per round not one-per-chain: $perRound")
     // the dense co-purchase base survives in full: removed ids are all
     // planted (> max partkey), and the core is nonempty
@@ -62,22 +63,39 @@ class Round10Spec extends SparkSuite {
     assert(rows.count(_._2 == 0) > 0)
   }
 
-  test("x187 apportionment sums exactly to the budget with non-uniform quotas") {
+  test("x187 apportionment sums exactly to the budget THROUGH a capacity cap") {
     val docs = Tables.documents(spark, sfDir)
     val n = docs.count()
     val budget = n * 2L / 5L
-    val sel = SparkEntry.queries("x187_mix_apportion")(spark, sfDir)
-    assert(sel.count() == budget,
-      s"largest-remainder allocation must sum EXACTLY to the budget $budget")
-    val perSrc = sel.groupBy("source").count().collect()
-      .map(_.getLong(1)).toSeq
-    // weights vary across sources (ascii-derived 1..5), so a correct
-    // apportionment cannot be uniform
-    assert(perSrc.distinct.size > 1,
+    val (sel0, rounds) =
+      queries.Round10Queries.mixApportionWithRounds(spark, sfDir)
+    val sel = sel0.collect().map(r => (r.getLong(0), r.getString(1)))
+    // the planted over-weight forces exactly one cap cascade: round 1
+    // over-quotas src0, round 2 re-apportions the residual and is feasible
+    assert(rounds == 2,
+      s"measured $rounds cap-redistribute rounds — the planted src0 " +
+        "over-weight should force exactly 2 (cap, then feasible)")
+    assert(sel.length == budget,
+      s"capacity-capped allocation must sum EXACTLY to the budget $budget")
+    val perSrc = sel.groupBy(_._2).map { case (src, v) => src -> v.size.toLong }
+    // the cap actually bit: src0's uncapped Hamilton quota (40/96 of the
+    // budget) exceeds its capacity, so its allocation IS its capacity
+    val src0Cap = docs.filter(col("source") === "src0").count()
+    assert(perSrc.getOrElse("src0", 0L) == src0Cap,
+      s"src0 should be allocated exactly its capacity $src0Cap " +
+        s"(got ${perSrc.getOrElse("src0", 0L)}) — the cap path is vacuous")
+    // weights vary across the uncapped sources (ascii-derived 1..5), so a
+    // correct apportionment cannot be uniform
+    assert(perSrc.values.toSeq.distinct.size > 1,
       s"per-source quotas unexpectedly uniform: $perSrc")
-    // every source's quota is satisfiable (selection can't exceed n_src,
-    // so an equality with the budget also proves no quota was truncated)
-    assert(perSrc.sum == budget)
+    // no source exceeds its capacity (selection can't, but the invariant
+    // we care about is on the quota table — equality with the budget plus
+    // per-source <= capacity proves no quota was truncated at selection)
+    val caps = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSrc.foreach { case (src, got) =>
+      assert(got <= caps(src), s"$src allocated past capacity: $got > ${caps(src)}")
+    }
   }
 
   test("x188 priority sample is weight-biased toward long documents") {
@@ -88,8 +106,7 @@ class Round10Spec extends SparkSuite {
     val sampleMean = sample.map(_.getAs[Long]("w")).sum.toDouble / 100
     val corpusMean = docs
       .agg(org.apache.spark.sql.functions.avg(
-        org.apache.spark.sql.functions.length(
-          org.apache.spark.sql.functions.col("text"))))
+        org.apache.spark.sql.functions.col("n_chars")))
       .head().getDouble(0)
     assert(sampleMean > corpusMean,
       s"weight-proportional sample mean length $sampleMean should exceed " +

@@ -46,7 +46,13 @@ class ScalingSlopeSpec extends SparkSuite {
     // (≤ |Q|·n), the exact side is the one certification corpus pass —
     // both linear in n, and the gate pins that no radius term went
     // quadratic.
-    "x185_ann_rerank_floor")
+    "x185_ann_rerank_floor",
+    // k-core peeling: per-round cost must be |doomed-set| joins against
+    // the once-materialized edge list, never an edge-list rewrite — a
+    // slope blowup here means a round went edge-quadratic (x187/x188 are
+    // sub-second at both SFs, below the gate's 0.2 s denominator floor,
+    // so they carry no signal and are left out).
+    "x186_kcore_peel")
 
   private def timeOnce(name: String, dir: String): Double = {
     val t0 = System.nanoTime()
