@@ -304,6 +304,14 @@ object PlanAudit {
     check("x188_priority_sample",
       "weighted top-k as TakeOrdered (no global sort of the corpus)",
       _.contains("TakeOrderedAndProject"))
+    check("x190_mad_outliers",
+      "median/MAD as join-ranked value tables + broadcast scalars; no window",
+      p => p.contains("BroadcastExchange") && !p.contains("Window"))
+    check("x191_temperature_mix",
+      "quota table broadcast; selection window partitions on lang",
+      p => p.contains("BroadcastHashJoin") &&
+        p.contains("hashpartitioning(lang") &&
+        !p.contains("SinglePartition, Window"))
     check("x180_ks_drift",
       "ECDF via bucketed windows + broadcast offsets; argmax is TakeOrdered",
       p => p.contains("BroadcastExchange") &&

@@ -215,10 +215,31 @@ object Round10Queries {
   private[graft] def mixApportionWithRounds(s: SparkSession, dir: String)
       : (DataFrame, Int) = {
     val docs = graft.Tables.documents(s, dir)
-    val ps = recipeSources(s, dir).localCheckpoint()
-    val nt = docs.agg(
-      expr(s"count(1) * $BudgetNum DIV $BudgetDen").as("n_budget"))
-      .localCheckpoint()
+    val (alloc, rounds) = cappedHamilton(
+      recipeSources(s, dir),
+      docs.agg(expr(s"count(1) * $BudgetNum DIV $BudgetDen").as("n_budget")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val sel = docs.join(broadcast(alloc), "source")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("alloc"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+    (sel, rounds)
+  }
+
+  /** The shared cap-redistribute fixpoint: capacity-capped Hamilton
+    * apportionment of `nt0`'s 1-row integer budget over `ps0`'s
+    * (source, n_src, w) dimension — see [[mixApportionWithRounds]]'s doc
+    * for the algorithm and scale argument. Checkpoints its own iterates
+    * and drops every non-output store before returning; the returned
+    * alloc table (source, alloc) keeps only the final iterates live.
+    * Reused by x191's temperature-flattened language mix.
+    */
+  private[queries] def cappedHamilton(ps0: DataFrame, nt0: DataFrame)
+      : (DataFrame, Int) = {
+    val ps = ps0.localCheckpoint()
+    val nt = nt0.localCheckpoint()
     var capped = ps.filter(lit(false)).localCheckpoint()
     var alloc: DataFrame = null
     var rounds = 0
@@ -268,26 +289,20 @@ object Round10Queries {
     // them; the final iterates stay live as the alloc table's lineage.
     graft.QueryDef.dropCheckpoint(ps)
     graft.QueryDef.dropCheckpoint(nt)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
-    val sel = docs.join(broadcast(alloc), "source")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("alloc"))
-      .select(col("doc_id"), col("source"))
-      .orderBy("doc_id")
-    (sel, rounds)
+    (alloc, rounds)
   }
 
-  private val mixApportionSql: String = {
+  /** DuckDB rendering of [[cappedHamilton]]: the WITH-prefix unrolling the
+    * cap-redistribute cascade [[ApportionRounds]] times over caller-
+    * provided `ps` (source, n_src, w) and `nt` (n_budget) CTE bodies,
+    * ending in an `alloc(source, alloc)` CTE the caller's final SELECT
+    * consumes. Shared by x187 and x191.
+    */
+  private[queries] def cappedHamiltonSqlPrefix(psBody: String,
+      ntBody: String): String = {
     val base =
-      s"""WITH ps AS MATERIALIZED (
-         |   SELECT source, count(*) AS n_src,
-         |          CASE WHEN source = 'src0' THEN 40
-         |               ELSE (ascii(substr(source, length(source), 1)) % 5) + 1
-         |          END AS w
-         |   FROM documents GROUP BY 1),
-         | nt AS (SELECT count(*) * $BudgetNum // $BudgetDen AS n_budget
-         |        FROM documents),
+      s"""WITH ps AS MATERIALIZED ($psBody),
+         | nt AS ($ntBody),
          | cap0 AS MATERIALIZED (SELECT source, n_src, w FROM ps WHERE 1 = 0)""".stripMargin
     val rounds = (1 to ApportionRounds).map { r =>
       s""" act$r AS MATERIALIZED (
@@ -323,7 +338,18 @@ object Round10Queries {
        |$rounds,
        | alloc AS (SELECT source, alloc FROM q$ApportionRounds
        |           UNION ALL
-       |           SELECT source, n_src AS alloc FROM cap$ApportionRounds)
+       |           SELECT source, n_src AS alloc FROM cap$ApportionRounds)""".stripMargin
+  }
+
+  private val mixApportionSql: String = {
+    val prefix = cappedHamiltonSqlPrefix(
+      s"""SELECT source, count(*) AS n_src,
+         |          CASE WHEN source = 'src0' THEN 40
+         |               ELSE (ascii(substr(source, length(source), 1)) % 5) + 1
+         |          END AS w
+         |   FROM documents GROUP BY 1""".stripMargin,
+      s"SELECT count(*) * $BudgetNum // $BudgetDen AS n_budget FROM documents")
+    s"""$prefix
        |SELECT d.doc_id, d.source
        |FROM (SELECT doc_id, source,
        |             row_number() OVER (PARTITION BY source ORDER BY doc_id)

@@ -102,7 +102,7 @@ object StreamingOps {
 
   private def stagedEventsStream(spark: SparkSession, dir: String,
       byTime: Boolean = false, maxFilesPerTrigger: Int = 1,
-      sentinel: Boolean = false): DataFrame = {
+      sentinel: Boolean = false, timeFiles: Int = 2): DataFrame = {
     val fileSchema = eventsFileSchema
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
@@ -118,7 +118,7 @@ object StreamingOps {
     val srcMtime = srcFiles.map(Files.getLastModifiedTime(_).toMillis).foldLeft(0L)(math.max)
     // Time-ordered staging uses 2 files: cross-batch matching is still
     // exercised (2+ microbatches) at half the per-batch state-commit cost.
-    val nFiles = if (byTime) 2 else 4
+    val nFiles = if (byTime) timeFiles else 4
     val stageKey = java.lang.Long.toHexString(
       java.util.Objects.hash("us2", dir, srcBytes, srcMtime).toLong & 0xffffffffL) +
       (if (byTime) s"_t$nFiles" else "") + (if (sentinel) "_s" else "")
@@ -268,6 +268,63 @@ object StreamingOps {
       q.processAllAvailable()
       q.stop()
       spark.table(sinkName).orderBy("user_id", "event_type")
+    }
+
+  /** Streaming dedup with WATERMARK-BOUNDED state
+    * (`dropDuplicatesWithinWatermark`): the production variant of x44 for
+    * unbounded keyspaces — a state entry expires once the watermark
+    * passes its recorded event time + the horizon, so state is bounded by
+    * arrival-rate × horizon instead of the lifetime distinct count (x44's
+    * state, correct but unbounded when keys never repeat).
+    *
+    * Exactness contract, split the x176/x183 way: with the horizon ≥ the
+    * fixture's full event-time span nothing can expire mid-drain, so the
+    * drained sink is EXACTLY batch DISTINCT — x44's oracle, shared
+    * verbatim (the hash gate proves the bounded-state API degrades to
+    * exact dedup whenever the horizon covers the duplicate spread). With
+    * a SMALL horizon the re-emission pattern depends on which physical
+    * row of a key each microbatch sees first — the state records that
+    * row's event time, and partition order is scheduler-dependent — a
+    * REAL nondeterminism of the API, not of this rendering; that regime
+    * is therefore property-gated in Round10bSpec via [[streamingDedupBoundedMetrics]]
+    * (eviction measurably happened: state numRowsRemoved > 0 and the sink
+    * re-emits; coverage: every distinct key still present; exactness of
+    * x44 untouched) rather than hash-gated.
+    */
+  def streamingDedupBounded(spark: SparkSession, dir: String,
+      sinkName: String, horizon: String = "45 days"): DataFrame =
+    streamingDedupBoundedMetrics(spark, dir, sinkName, horizon)._1
+
+  /** [[streamingDedupBounded]] plus the drain's summed state-eviction
+    * counter (`stateOperators.numRowsRemoved`) — the spec's evidence that
+    * a small horizon really evicts.
+    */
+  private[graft] def streamingDedupBoundedMetrics(spark: SparkSession,
+      dir: String, sinkName: String, horizon: String): (DataFrame, Long) =
+    withStreamPartitions(spark) {
+      spark.catalog.dropTempView(sinkName)
+      // 6 time-ordered batches (5-day buckets), not the usual 2: state
+      // eviction commits at END of batch, so a key emitted in batch k can
+      // only be OBSERVED re-emitting from batch k+2 on — with 2 batches
+      // re-emission is structurally impossible and the spec's small-
+      // horizon evidence would be vacuous.
+      val q = stagedEventsStream(spark, dir, byTime = true, timeFiles = 6)
+        .withColumn("ts", expr("timestamp_micros(ts)"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withWatermark("ts", horizon)
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      q.processAllAvailable()
+      val removed = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numRowsRemoved).sum
+      q.stop()
+      (spark.table(sinkName).orderBy("user_id", "event_type"), removed)
     }
 
   /** Stream-stream inner join: clicks joined to same-user purchases that
@@ -1130,6 +1187,14 @@ object StreamingOps {
     QueryDef(
       "x44_stream_dedup",
       (s, dir) => streamingDedup(s, dir, "x44_stream_dedup_sink"),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    QueryDef(
+      "x189_stream_dedup_bounded",
+      (s, dir) => streamingDedupBounded(s, dir, "x189_stream_dedup_bounded_sink"),
+      // x44's oracle verbatim: with the horizon covering the fixture's
+      // event-time span, watermark-bounded dedup IS exact dedup.
       Some("""SELECT DISTINCT user_id, event_type FROM events
              |ORDER BY user_id, event_type""".stripMargin)),
 
