@@ -55,7 +55,7 @@ object Round10cQueries {
       |SELECT source, count(*) AS n, bit_xor(h) AS fp_xor,
       |       CAST(CAST(sum(h) AS HUGEINT) % 9223372036854775808 AS BIGINT)
       |         AS fp_sum,
-      |       sum(n_chars) AS chars
+      |       CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- x193: PII redaction with exact audit ------------------------------
@@ -101,7 +101,7 @@ object Round10cQueries {
               .otherwise(lit(""))))
           .otherwise(col("text")).as("text2"))
     planted.select(col("doc_id"),
-        regexp_count(col("text2"), lit(EmailRe)).as("n_redacted"),
+        regexp_count(col("text2"), lit(EmailRe)).cast("long").as("n_redacted"),
         conv(substring(md5(
             regexp_replace(col("text2"), EmailRe, "<EMAIL>").cast("binary")),
           1, 15), 16, 10).cast("long").as("scrub_fp"))
