@@ -317,6 +317,21 @@ object PlanAudit {
       p => p.contains("BroadcastExchange") &&
         p.contains("TakeOrderedAndProject"))
 
+    // ---- round-11 additions ---------------------------------------------
+    check("x192_content_manifest",
+      "one corpus scan: zero joins, zero windows",
+      p => !p.contains("Join") && !p.contains("Window"))
+    check("x195_hash_vectorizer",
+      "pure hash-aggregate pipeline (no join anywhere)",
+      p => !p.contains("Join"))
+    check("x196_countmin_certify",
+      "sketch cells broadcast to the probes (equi-join on (j,b))",
+      _.contains("BroadcastHashJoin"))
+    check("x197_gram_novelty",
+      "first-occurrence join partitions on the gram hash; windows stay doc-partitioned",
+      p => p.contains("hashpartitioning(gh") &&
+        !p.contains("SinglePartition, Window"))
+
     // ---- round-7: the two r6-verdict scale sores, now window-free -------
     check("x151_rfm", "sampled cutpoints broadcast; NO window anywhere",
       p => p.contains("BroadcastExchange") && !p.contains("Window"))

@@ -44,7 +44,7 @@ object Round6bQueries {
       .orderBy("step")
   }
 
-  private val funnelSql =
+  private[queries] val funnelSql =
     """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
       |            WHERE event_type = 'view' GROUP BY 1),
       |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)

@@ -17,7 +17,7 @@ object Round9Queries {
     * Positions are 1-based to match DuckDB's generate_subscripts.
     * Same NULL-propagating concat so trailing partial grams drop.
     */
-  private def positionedGrams(docs: org.apache.spark.sql.DataFrame,
+  private[queries] def positionedGrams(docs: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {
     val win = Window.partitionBy("doc_id").orderBy("pos")
     val parts = (0 until k).map {

@@ -327,6 +327,84 @@ object StreamingOps {
       (spark.table(sinkName).orderBy("user_id", "event_type"), removed)
     }
 
+  /** Streaming funnel: x142's three-stage view→click→purchase conversion
+    * funnel as an incremental per-user state machine. State is O(1) per
+    * user — exactly three first-reach timestamps (t1 = first view,
+    * t2 = first click strictly after t1, t3 = first purchase strictly
+    * after t2) — the reason funnels are a flagship streaming workload:
+    * the batch rendering re-joins the whole history per refresh, the
+    * streaming one carries 24 bytes per user forever.
+    *
+    * Exactness contract: the greedy time-ordered update rule computes
+    * exactly x142's chained-min semantics PROVIDED events arrive in
+    * event-time order — which the staged source guarantees across
+    * batches (byTime range-partitioned files) and a per-batch sort
+    * guarantees within a batch. On an out-of-order production source the
+    * same state machine is exact once fed from a watermark-sorted
+    * buffer; the greedy core is unchanged. Drained ≡ batch, so the query
+    * shares x142's oracle verbatim (the x44/x176/x183 family contract).
+    *
+    * Emissions are version-stamped state snapshots (Update mode, the
+    * x176 idiom); the batch finalize keeps each user's latest snapshot
+    * via one max(struct) hash aggregate — no window over the sink.
+    */
+  def streamingFunnel(spark: SparkSession, dir: String, sinkName: String): DataFrame =
+    withStreamPartitions(spark) {
+      import spark.implicits._
+      spark.catalog.dropTempView(sinkName)
+      val NONE = -1L
+      val q = stagedEventsStream(spark, dir, byTime = true)
+        .select(col("user_id"), col("ts").as("us"), col("event_type"))
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long, Long), (Long, Long, Long, Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          (user: Long, batch: Iterator[(Long, Long, String)],
+              state: GroupState[(Long, Long, Long, Long)]) =>
+            var (ver, t1, t2, t3) =
+              state.getOption.getOrElse((0L, NONE, NONE, NONE))
+            // Strict > guards mirror x142's `ts > t_prev` chaining; the
+            // (us, type) sort only pins iteration order — equal-time
+            // events can never advance a stage whatever their order.
+            batch.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, us, tpe) =>
+              tpe match {
+                case "view" if t1 == NONE                             => t1 = us
+                case "click" if t2 == NONE && t1 != NONE && us > t1   => t2 = us
+                case "purchase" if t3 == NONE && t2 != NONE && us > t2 => t3 = us
+                case _ =>
+              }
+            }
+            ver += 1
+            state.update((ver, t1, t2, t3))
+            Iterator.single((user, ver, t1, t2, t3))
+        }
+        .toDF("user_id", "ver", "t1", "t2", "t3")
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // Latest snapshot per user (versions increase monotonically), then
+      // the funnel report in x142's exact shape.
+      val fin = spark.table(sinkName)
+        .groupBy("user_id")
+        .agg(max(struct(col("ver"), col("t1"), col("t2"), col("t3"))).as("s"))
+        .select(col("s.t1").as("t1"), col("s.t2").as("t2"), col("s.t3").as("t3"))
+      val steps = Seq((1, "view", "t1"), (2, "click", "t2"), (3, "purchase", "t3"))
+      val counts = steps.map { case (i, name, c) =>
+        fin.filter(col(c) =!= NONE).agg(count(lit(1)).as("users"))
+          .select(lit(i).as("step"), lit(name).as("event_type"), col("users"))
+      }.reduce(_ unionByName _)
+      val base = fin.filter(col("t1") =!= NONE).agg(count(lit(1)).as("base"))
+      counts.crossJoin(broadcast(base))
+        .select(col("step"), col("event_type"), col("users"),
+          expr("(users * 10000) div base").as("conv_per_10k"))
+        .orderBy("step")
+    }
+
   /** Stream-stream inner join: clicks joined to same-user purchases that
     * land within 6 hours after the click — two independent incremental
     * sources, watermarks on both sides, and a time-range join condition,
