@@ -331,6 +331,12 @@ object PlanAudit {
       "first-occurrence join partitions on the gram hash; windows stay doc-partitioned",
       p => p.contains("hashpartitioning(gh") &&
         !p.contains("SinglePartition, Window"))
+    check("x199_snapshot_diff",
+      "one full-outer equi-join of row-hash snapshots; no window",
+      p => p.contains("FullOuter") && !p.contains("Window"))
+    check("x201_lpa_communities",
+      "edge table checkpointed once — rounds consume the RDD, never re-derive the self-join",
+      p => p.contains("ExistingRDD") && !p.contains("l_orderkey"))
 
     // ---- round-7: the two r6-verdict scale sores, now window-free -------
     check("x151_rfm", "sampled cutpoints broadcast; NO window anywhere",

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AdvancedQueries, CoreQueries, ExtraQueries, Round2Queries, Round3Queries, Round4Queries, Round4bQueries, Round5Queries, Round5bQueries, Round5cQueries, Round5dQueries, Round5eQueries, Round5fQueries, Round6Queries, Round6bQueries, Round8Queries, Round9Queries, Round9cQueries, Round10Queries, Round10bQueries, Round10cQueries, Round11Queries}
+import graft.queries.{AdvancedQueries, CoreQueries, ExtraQueries, Round2Queries, Round3Queries, Round4Queries, Round4bQueries, Round5Queries, Round5bQueries, Round5cQueries, Round5dQueries, Round5eQueries, Round5fQueries, Round6Queries, Round6bQueries, Round8Queries, Round9Queries, Round9cQueries, Round10Queries, Round10bQueries, Round10cQueries, Round11Queries, Round11bQueries}
 import graft.operators.{BpeTrain, ConnectedComponents, Dedup, FuzzyJoin, IncrementalDedup, IvfPq, KMeansLite, Labeling, LangModel, LeakageSplit, LineOps, Multimodal, ProductQuant, RandomProjection, Retrieval, Similarity, TextAnalysis, ZOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -23,7 +23,7 @@ object SparkEntry {
       Retrieval.queries ++ LangModel.queries ++ ConnectedComponents.queries ++
       Labeling.queries ++ LeakageSplit.queries ++ Round9cQueries.all ++
       RandomProjection.queries ++ Round10Queries.all ++ Round10bQueries.all ++
-      Round10cQueries.all ++ Round11Queries.all
+      Round10cQueries.all ++ Round11Queries.all ++ Round11bQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q8 (TPC-H Q1 shape): scan→project→partial/final agg→sort end-to-end.
