@@ -334,6 +334,10 @@ object PlanAudit {
     check("x199_snapshot_diff",
       "one full-outer equi-join of row-hash snapshots; no window",
       p => p.contains("FullOuter") && !p.contains("Window"))
+    check("x202_phash_neardup",
+      "banded candidates via equi-join on (band,v); no all-pairs nested loop",
+      p => p.contains("Join") && !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"))
     check("x201_lpa_communities",
       "edge table checkpointed once — rounds consume the RDD, never re-derive the self-join",
       p => p.contains("ExistingRDD") && !p.contains("l_orderkey"))

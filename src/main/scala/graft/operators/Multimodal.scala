@@ -126,7 +126,118 @@ object Multimodal {
 
   // ---- declared queries -------------------------------------------------
 
+  /** Difference-hash (dHash) bands over a binary payload — the standard
+    * perceptual near-dup fingerprint for images (Krawetz's dHash: resize
+    * to a 9×8 grid, hash = sign of horizontal gradients), rendered on
+    * the stub decode: grid cell (r,c) = sum of payload bytes at offsets
+    * ≡ r·9+c (mod 72) — a real decoder would average pixel blocks here;
+    * the gradient/banding machinery downstream is unchanged. 64 bits
+    * split into 8 row-bands of 8 bits for pigeonhole-complete banding
+    * (hamming ≤ 7 ⇒ at least one identical band — x04's idiom on a
+    * perceptual hash).
+    *
+    * Narrow partition-parallel pass, integer-only; one row per (doc,
+    * band). ASCII payloads make DuckDB's codepoint view byte-identical
+    * (the x50 argument), so the oracle replays the exact grid.
+    */
+  def dhashBands(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val cell = new Array[Long](72)
+        var i = 0
+        while (i < bytes.length) { cell(i % 72) += bytes(i) & 0xffL; i += 1 }
+        Iterator.range(0, 8).map { r =>
+          var v = 0L
+          var c = 0
+          while (c < 8) {
+            if (cell(r * 9 + c) < cell(r * 9 + c + 1)) v |= 1L << c
+            c += 1
+          }
+          (id, r.toLong, v)
+        }
+      }
+      .toDF("doc_id", "band", "v")
+  }
+
+  /** x202: perceptual near-dup pairs — banded candidate join on the dHash
+    * bands, exact hamming verify, threshold 7 (= the pigeonhole bound, so
+    * the banded candidate set is provably complete: no pair within the
+    * threshold can differ in all 8 bands). The multimodal twin of x03's
+    * LSH dedup: same route-by-equality shape, but the key is a perceptual
+    * gradient signature of the PAYLOAD, not a token shingle — byte-level
+    * revisions that preserve overall structure land within a few bits
+    * (the fixture yields hamming 0, 1 and 2 pairs at every SF).
+    *
+    * Scale: band join is an equi-join on (band, value) — at real corpus
+    * sizes the band-value buckets are the partition key and the verify
+    * join fans out only candidate pairs; the hamming verify reads the
+    * 8-row band table, never payloads.
+    */
+  def phashNearDup(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val bands = dhashBands(spark, docs)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    cand
+      .join(bands.select(col("doc_id").as("a"), col("band"), col("v").as("va")),
+        Seq("a"))
+      .join(bands.select(col("doc_id").as("b2"), col("band").as("bb"),
+        col("v").as("vb")), col("b") === col("b2") && col("band") === col("bb"))
+      .groupBy("a", "b")
+      .agg(sum(bit_count(expr("va ^ vb")).cast("long")).as("hamming"))
+      .filter(col("hamming") <= 7)
+      .orderBy("a", "b")
+  }
+
+  private val phashNearDupSql: String =
+    """WITH chars AS (
+      |  SELECT doc_id,
+      |         generate_subscripts(string_split(text, ''), 1) AS i,
+      |         unnest(string_split(text, '')) AS ch
+      |  FROM documents),
+      | sparse AS (
+      |  SELECT doc_id, (i-1) % 72 AS k, sum(ascii(ch)) AS cell
+      |  FROM chars GROUP BY 1, 2),
+      | -- densify: a doc shorter than 72 bytes never touches its tail
+      | -- cells; they must exist AS ZEROS (the Spark array is zero-
+      | -- filled) or the inner joins below silently drop whole bands
+      | -- from short docs' hashes and the hamming sum under-counts
+      | cells AS (
+      |  SELECT d.doc_id, g.k, coalesce(s.cell, 0) AS cell
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d
+      |  CROSS JOIN generate_series(0, 71) g(k)
+      |  LEFT JOIN sparse s ON s.doc_id = d.doc_id AND s.k = g.k),
+      | bits AS (
+      |  SELECT a.doc_id, j // 8 AS band,
+      |         CASE WHEN a.cell < b.cell THEN 1 ELSE 0 END << (j % 8) AS bv
+      |  FROM generate_series(0, 63) g(j)
+      |  JOIN cells a ON a.k = (j // 8) * 9 + (j % 8)
+      |  JOIN cells b ON b.k = (j // 8) * 9 + (j % 8) + 1
+      |               AND b.doc_id = a.doc_id),
+      | bands AS (SELECT doc_id, band, CAST(sum(bv) AS BIGINT) AS v
+      |           FROM bits GROUP BY 1, 2),
+      | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |          FROM bands x JOIN bands y
+      |            ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+      | ham AS (SELECT c.a, c.b,
+      |                CAST(sum(bit_count(xor(ba.v, bb.v))) AS BIGINT)
+      |                  AS hamming
+      |         FROM cand c
+      |         JOIN bands ba ON ba.doc_id = c.a
+      |         JOIN bands bb ON bb.doc_id = c.b AND bb.band = ba.band
+      |         GROUP BY 1, 2)
+      |SELECT a, b, hamming FROM ham WHERE hamming <= 7
+      |ORDER BY a, b""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "x202_phash_neardup",
+      (s, dir) => phashNearDup(s, Tables.documents(s, dir)),
+      Some(phashNearDupSql)),
+
     // The stub is deterministic arithmetic over byte lengths + md5, so even
     // the "decode" is oracle-checkable — the plumbing is verified end-to-end.
     QueryDef(

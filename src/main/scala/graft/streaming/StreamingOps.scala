@@ -405,6 +405,56 @@ object StreamingOps {
         .orderBy("step")
     }
 
+  /** Streaming per-user-day admission quota — the rate limiter / ingest
+    * cap every event collector runs: admit at most N events per (user,
+    * event-time day), reject the rest. State per user is one count per
+    * ACTIVE day — bounded by the user's day span, and in production a
+    * watermark TTL drops days behind the horizon (the x176-ttl
+    * configuration); kept timeout-free here so the drained finite stream
+    * is exactly the batch rule.
+    *
+    * Exactness: admission order is (ts, event_id) — the same total order
+    * the batch oracle's row_number uses — valid incrementally because
+    * the staged source delivers batches in event-time order and equal
+    * timestamps land in one range-partitioned file.
+    */
+  def streamingQuota(spark: SparkSession, dir: String, sinkName: String,
+      perDay: Int = 3): DataFrame =
+    withStreamPartitions(spark) {
+      import spark.implicits._
+      spark.catalog.dropTempView(sinkName)
+      val q = stagedEventsStream(spark, dir, byTime = true)
+        .select(col("user_id"), col("ts").as("us"), col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[Map[Long, Int], (Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          (user: Long, batch: Iterator[(Long, Long, Long)],
+              state: GroupState[Map[Long, Int]]) =>
+            var counts = state.getOption.getOrElse(Map.empty[Long, Int])
+            val admitted = Seq.newBuilder[(Long, Long)]
+            batch.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, us, eid) =>
+              val day = us / 86400000000L
+              val c = counts.getOrElse(day, 0)
+              if (c < perDay) {
+                counts += day -> (c + 1)
+                admitted += ((user, eid))
+              }
+            }
+            state.update(counts)
+            admitted.result().iterator
+        }
+        .toDF("user_id", "event_id")
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(sinkName).orderBy("event_id")
+    }
+
   /** Stream-stream inner join: clicks joined to same-user purchases that
     * land within 6 hours after the click — two independent incremental
     * sources, watermarks on both sides, and a time-range join condition,
@@ -1333,6 +1383,20 @@ object StreamingOps {
              |              ORDER BY value DESC, event_id) AS BIGINT) AS rnk
              |  FROM events) t
              |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin)),
+
+    QueryDef(
+      "x203_stream_quota",
+      (s, dir) => streamingQuota(s, dir, "x203_stream_quota_sink"),
+      // Batch rule: first 3 events per (user, event-time day) in
+      // (ts, event_id) order — drained streaming admission must equal it.
+      Some("""SELECT user_id, event_id FROM (
+             |  SELECT user_id, event_id,
+             |         row_number() OVER (
+             |           PARTITION BY user_id, us // 86400000000
+             |           ORDER BY us, event_id) AS rn
+             |  FROM (SELECT user_id, event_id, epoch_us(ts) AS us
+             |        FROM events) e) t
+             |WHERE rn <= 3 ORDER BY event_id""".stripMargin)),
 
     QueryDef(
       "x176_stream_sessionize",
