@@ -52,7 +52,15 @@ class ScalingSlopeSpec extends SparkSuite {
     // slope blowup here means a round went edge-quadratic (x187/x188 are
     // sub-second at both SFs, below the gate's 0.2 s denominator floor,
     // so they carry no signal and are left out).
-    "x186_kcore_peel")
+    "x186_kcore_peel",
+    // r11 members: x197 rides the x165 gram-hash index (same hidden
+    // all-pairs risk surface); x200 iterates the LSH pair graph like
+    // x175; x201's per-round joins are edge-bounded — a slope blowup
+    // means the w>=2 co-purchase edge set (not the corpus) went
+    // quadratic; x202's banded candidate join is the multimodal
+    // analog of x03 — band-value buckets exploding would surface here.
+    "x197_gram_novelty", "x200_quality_canonical",
+    "x201_lpa_communities", "x202_phash_neardup")
 
   private def timeOnce(name: String, dir: String): Double = {
     val t0 = System.nanoTime()
