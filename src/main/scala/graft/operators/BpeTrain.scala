@@ -185,6 +185,47 @@ object BpeTrain {
        |FROM toks JOIN sq$iters USING (w)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** x216: tokenizer fertility report — per-language tokens-per-word and
+    * chars-per-token under the trained merges, the standard tokenizer-
+    * equity eval (a tokenizer trained on a skewed mix "taxes" the
+    * under-represented languages with higher fertility, inflating their
+    * effective sequence lengths and training cost). One join of the
+    * x177 per-doc counts to the doc's language and a languages-sized
+    * aggregate; ratios as integer permille via DIV (x171 regime).
+    */
+  def fertilityByLang(spark: SparkSession, docs: DataFrame): DataFrame = {
+    encodeCounts(spark, docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        expr("n_tokens * 1000 DIV n_words").as("fertility_permille"),
+        expr("n_chars * 1000 DIV n_tokens").as("chars_per_token_permille"))
+      .orderBy("lang")
+  }
+
+  private def fertilitySql: String =
+    s"""WITH ${bpeCtes.mkString(",\n ")},
+       | toks AS (${TextOps.tokensSql}),
+       | pd AS (
+       |   SELECT doc_id, count(*) AS n_words,
+       |          CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       |          CAST(sum(len(seq)) AS BIGINT) AS n_tokens
+       |   FROM toks JOIN sq$iters USING (w) GROUP BY 1),
+       | ag AS (
+       |   SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |          CAST(sum(pd.n_words) AS BIGINT) AS n_words,
+       |          CAST(sum(pd.n_chars) AS BIGINT) AS n_chars,
+       |          CAST(sum(pd.n_tokens) AS BIGINT) AS n_tokens
+       |   FROM pd JOIN documents d USING (doc_id) GROUP BY 1)
+       |SELECT lang, n_docs, n_words, n_tokens,
+       |       CAST(n_tokens * 1000 // n_words AS BIGINT) AS fertility_permille,
+       |       CAST(n_chars * 1000 // n_tokens AS BIGINT) AS chars_per_token_permille
+       |FROM ag ORDER BY lang""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef(
       "x168_bpe_train",
@@ -193,6 +234,10 @@ object BpeTrain {
     QueryDef(
       "x177_bpe_encode",
       (s, dir) => encodeCounts(s, Tables.documents(s, dir)),
-      Some(encodeSql))
+      Some(encodeSql)),
+    QueryDef(
+      "x216_bpe_fertility",
+      (s, dir) => fertilityByLang(s, Tables.documents(s, dir)),
+      Some(fertilitySql))
   )
 }

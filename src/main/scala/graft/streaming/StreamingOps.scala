@@ -455,6 +455,68 @@ object StreamingOps {
       spark.table(sinkName).orderBy("event_id")
     }
 
+  /** Streaming per-day event-type mix drift (x212) — the monitoring
+    * query a production ingest runs beside the pipeline: per event-time
+    * day, the total-variation-style L1 distance (in permille) between
+    * the day's event-type mix and the corpus-wide mix, with a
+    * scale-invariant flag. The streaming side is a plain update-mode
+    * aggregation — counts per (day, type) are monotone, so the final
+    * value per key is the max over emitted versions (bounded state:
+    * days × types rows; in production a watermark TTL drops closed
+    * days). The reference mix is computed from the DRAINED counts, so
+    * drained ≡ batch holds by construction and the DuckDB oracle replays
+    * the whole statistic.
+    *
+    * Determinism: per-type shares are integer permille via DIV before
+    * the |·| sum (the x171 regime). The flag compares l1²·n_day against
+    * a constant — the integer rendering of l1 > K/√n_day, which is the
+    * right SHAPE for a multinomial-noise alarm: per-day counts are ~n·p
+    * with √n noise, so a fixed permille threshold would fire on every
+    * small-SF day and never at sf0.1; the √n scaling keeps both branches
+    * alive at every SF (spec-asserted).
+    *
+    * The (day × type) spine is DENSE (the x202 lesson): a day that saw
+    * zero rows of a type still owes that type's global share to its L1.
+    */
+  def streamingMixDrift(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame =
+    withStreamPartitions(spark) {
+      spark.catalog.dropTempView(sinkName)
+      val q = stagedEventsStream(spark, dir, byTime = true)
+        .select(expr("ts DIV 86400000000").as("day"), col("event_type"))
+        .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // Update mode emits the RUNNING count per key per batch — counts
+      // are monotone, so the drained value per key is the max.
+      // localCheckpoint: the drained table is re-used three ways below
+      // (per-day totals, global mix, spine) — checkpointing both bounds
+      // the work AND gives each branch fresh attribute ids (the memory
+      // sink's View otherwise makes the self-joins ambiguous).
+      val counts = spark.table(sinkName).groupBy("day", "event_type")
+        .agg(max(col("n")).as("n")).localCheckpoint()
+      val glob = counts.groupBy("event_type").agg(sum(col("n")).as("g"))
+      val gtot = glob.agg(sum(col("g")).as("gt"))
+      val dayTot = counts.groupBy("day").agg(sum(col("n")).as("nd"))
+      val spine = dayTot.select("day").crossJoin(broadcast(glob))
+      spine.join(counts, Seq("day", "event_type"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"), col("g"))
+        .join(dayTot, "day").crossJoin(broadcast(gtot))
+        .select(col("day"), col("nd"),
+          abs(expr("n * 1000 DIV nd") - expr("g * 1000 DIV gt")).as("term"))
+        .groupBy("day")
+        .agg(max(col("nd")).as("n_events"), sum(col("term")).as("l1_permille"))
+        .select(col("day"), col("n_events"), col("l1_permille"),
+          (col("l1_permille") * col("l1_permille") * col("n_events") >
+            4000000L).cast("int").as("flagged"))
+        .orderBy("day")
+    }
+
   /** Stream-stream inner join: clicks joined to same-user purchases that
     * land within 6 hours after the click — two independent incremental
     * sources, watermarks on both sides, and a time-range join condition,
@@ -1397,6 +1459,32 @@ object StreamingOps {
              |  FROM (SELECT user_id, event_id, epoch_us(ts) AS us
              |        FROM events) e) t
              |WHERE rn <= 3 ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
+      "x212_stream_mix_drift",
+      (s, dir) => streamingMixDrift(s, dir, "x212_stream_mix_sink"),
+      Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             |                  event_type
+             |           FROM events),
+             | c AS (SELECT day, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+             | g AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS g
+             |       FROM c GROUP BY 1),
+             | gt AS (SELECT CAST(sum(g) AS BIGINT) AS gt FROM g),
+             | dt AS (SELECT day, CAST(sum(n) AS BIGINT) AS nd FROM c GROUP BY 1),
+             | t AS (SELECT s.day, coalesce(c.n, 0) AS n, s.g
+             |       FROM (SELECT dt.day, g.event_type, g.g
+             |             FROM dt CROSS JOIN g) s
+             |       LEFT JOIN c ON s.day = c.day AND s.event_type = c.event_type),
+             | l AS (SELECT t.day, max(dt.nd) AS n_events,
+             |              CAST(sum(abs(t.n * 1000 // dt.nd - t.g * 1000 // gt.gt))
+             |                AS BIGINT) AS l1
+             |       FROM t JOIN dt ON t.day = dt.day CROSS JOIN gt
+             |       GROUP BY 1)
+             |SELECT day, CAST(n_events AS BIGINT) AS n_events,
+             |       l1 AS l1_permille,
+             |       CAST(CASE WHEN l1 * l1 * n_events > 4000000
+             |                 THEN 1 ELSE 0 END AS INT) AS flagged
+             |FROM l ORDER BY day""".stripMargin)),
 
     QueryDef(
       "x176_stream_sessionize",
