@@ -106,7 +106,7 @@ object KMeansLite {
   /** DuckDB rendering of the same two-iteration run (k inlined) — the
     * CTE chain up to the final assignment `a2`, shared by x101 and x122.
     */
-  private def kmeansCtesSql(k: Int, dim: Int): String =
+  private[operators] def kmeansCtesSql(k: Int, dim: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        | c0 AS (

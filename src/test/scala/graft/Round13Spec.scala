@@ -1,0 +1,47 @@
+package graft
+
+/** Semantic anchors for the round-13 evaluation operators: Heaps-law
+  * growth ordering actually holds on the fixture (words saturate, bigrams
+  * grow sublinearly), and the silhouette gate partitions the whole corpus
+  * with valid, non-negative scores.
+  */
+class Round13Spec extends SparkSuite {
+
+  test("x219 Heaps: words saturate, bigrams grow strictly slower than occurrences") {
+    val rows = SparkEntry.queries("x219_heaps_law")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.sliding(2).forall(p => p(0)._2 < p(1)._2),
+      "occurrences must strictly grow with the prefix")
+    // The 31-word generator vocabulary is exhausted in the first quarter.
+    assert(rows.forall(_._3 == 31L), s"word vocab: ${rows.map(_._3)}")
+    rows.tail.foreach { r =>
+      assert(r._6 == 1000L, s"saturated word vocab must show flat growth: $r")
+      assert(r._7 >= 1000L && r._7 <= r._5,
+        s"bigram growth must sit between flat and occurrence growth: $r")
+      assert(r._5 > r._7,
+        s"occurrence growth must STRICTLY beat bigram growth (Heaps): $r")
+    }
+    assert(rows.tail.exists(_._7 > 1000L),
+      "bigram vocab never grew — the fixture saturated everywhere, " +
+        "the law is vacuous at this SF")
+  }
+
+  test("x220 silhouette: full partition, four live clusters, valid score range") {
+    val rows = SparkEntry.queries("x220_silhouette")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    rows.foreach { r =>
+      assert(r._2 > 0, s"empty cluster survived to the report: $r")
+      // a <= b by the nearest-centroid assignment, so s is in [0, 1000];
+      // near-random embeddings sit near 0 but never below it.
+      assert(r._3 >= 0 && r._3 <= 1000, s"silhouette outside [0, 1000]: $r")
+    }
+    val total = rows.map(_._2).sum
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(total == n, s"silhouette covered $total of $n vectors")
+  }
+}
