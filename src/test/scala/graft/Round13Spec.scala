@@ -29,6 +29,32 @@ class Round13Spec extends SparkSuite {
         "the law is vacuous at this SF")
   }
 
+  test("x221 ER: all bands live, recall accounted, review is where evidence runs out") {
+    val rows = SparkEntry.queries("x221_entity_resolution")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val byD = rows.map(r => r._1 -> r).toMap
+    assert(byD.keySet == Set("match", "review", "nonmatch"),
+      s"a decision band is vacuous: ${byD.keySet}")
+    val n = Tables.customer(spark, sfDir).count()
+    // Every true twin is a k1 candidate by construction (the corruptions
+    // are all early-position), so truth splits exactly across the bands.
+    assert(rows.map(_._3).sum == n,
+      s"true pairs lost by blocking: ${rows.map(_._3).sum} != $n twins")
+    // The match band dominates: high precision AND most of the recall.
+    assert(byD("match")._5 >= 850, s"match precision: ${byD("match")}")
+    assert(byD("match")._6 >= 900, s"match recall: ${byD("match")}")
+    // The review band holds the char-drop+lost-segment class (exactly
+    // the keys = 0 mod 15: evidence genuinely short) plus ghosts' near
+    // misses — some true, mostly false, never empty.
+    assert(byD("review")._3 > 0 && byD("review")._4 > 0,
+      s"review band must mix true and false: ${byD("review")}")
+    // Nothing true ever lands in nonmatch (weights are calibrated so the
+    // weakest true class still clears the review floor).
+    assert(byD("nonmatch")._3 == 0, s"true pair rejected: ${byD("nonmatch")}")
+    rows.foreach { r => assert(r._2 == r._3 + r._4, s"counts disagree: $r") }
+  }
+
   test("x220 silhouette: full partition, four live clusters, valid score range") {
     val rows = SparkEntry.queries("x220_silhouette")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
