@@ -3,6 +3,7 @@ package graft.streaming
 import graft.{QueryDef, Tables}
 import graft.QueryDef.dsumSql
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -515,6 +516,66 @@ object StreamingOps {
           (col("l1_permille") * col("l1_permille") * col("n_events") >
             4000000L).cast("int").as("flagged"))
         .orderBy("day")
+    }
+
+  /** Streaming SCD2 point-in-time enrichment (x222) — the stream-static
+    * production shape x118's dimension exists FOR: each arriving event is
+    * enriched with the dimension row VALID AT ITS EVENT TIME (training-
+    * serving-skew-safe feature lookup), not the current row. The static
+    * side is the x118 interval build over orders (per customer, priority
+    * validity intervals [valid_from, valid_to)), localCheckpointed so the
+    * window work runs once, not per microbatch; the join is an equi-join
+    * on the user key with a residual range predicate — broadcast-hash
+    * shaped, never a nested loop, and each event matches ≤ 1 interval
+    * because the intervals partition the per-user timeline.
+    *
+    * Event times are remapped into the dimension era RELATIONALLY
+    * (30-day offset × 80 anchored at the dimension epoch — exact integer
+    * micros, oracle-replayed): the fixture's events otherwise all land
+    * after every interval and the lookup degenerates to "current row".
+    * Events before a user's first interval keep prio 'none' (the
+    * cold-start branch, non-vacuous at every SF).
+    *
+    * Complete-mode aggregate over (event_type, prio) — state is the tiny
+    * cross of the two dimensions; drained ≡ batch by construction and the
+    * oracle replays the whole statistic.
+    */
+  def streamingScd2Enrich(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame =
+    withStreamPartitions(spark) {
+      spark.catalog.dropTempView(sinkName)
+      val byCust = Window.partitionBy("o_custkey")
+        .orderBy(col("od"), col("o_orderkey"))
+      val dim = graft.Tables.orders(spark, dir)
+        .select(col("o_custkey"),
+          graft.functions.TimeCols.ntzEpochMicros("o_orderdate").as("od"),
+          col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("prev", lag(col("o_orderpriority"), 1).over(byCust))
+        .filter(col("prev").isNull ||
+          col("prev") =!= col("o_orderpriority"))
+        .withColumn("valid_to", lead(col("od"), 1).over(byCust))
+        .select(col("o_custkey").as("du"), col("o_orderpriority").as("prio"),
+          col("od").as("valid_from"), col("valid_to"))
+        .localCheckpoint()
+      val q = stagedEventsStream(spark, dir, byTime = true)
+        .select(col("event_type"), col("user_id"),
+          (lit(788918400000000L) +
+            (col("ts") - lit(1704067200000000L)) * 80).as("pit"))
+        .join(dim,
+          col("user_id") === col("du") && col("pit") >= col("valid_from") &&
+            (col("valid_to").isNull || col("pit") < col("valid_to")),
+          "left")
+        .select(col("event_type"),
+          coalesce(col("prio"), lit("none")).as("prio"))
+        .groupBy("event_type", "prio").agg(count(lit(1)).as("n"))
+        .writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(sinkName).orderBy("event_type", "prio")
     }
 
   /** Stream-stream inner join: clicks joined to same-user purchases that
@@ -1485,6 +1546,39 @@ object StreamingOps {
              |       CAST(CASE WHEN l1 * l1 * n_events > 4000000
              |                 THEN 1 ELSE 0 END AS INT) AS flagged
              |FROM l ORDER BY day""".stripMargin)),
+
+    QueryDef(
+      "x222_stream_scd2_enrich",
+      (s, dir) => streamingScd2Enrich(s, dir, "x222_stream_scd2_sink"),
+      Some("""WITH ords AS (
+             |  SELECT o_custkey, epoch_us(o_orderdate) AS od, o_orderkey,
+             |         o_orderpriority
+             |  FROM orders),
+             | ch AS (
+             |  SELECT o_custkey, od, o_orderkey, o_orderpriority FROM (
+             |    SELECT o_custkey, od, o_orderkey, o_orderpriority,
+             |           lag(o_orderpriority) OVER w AS prev
+             |    FROM ords
+             |    WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)) t
+             |  WHERE prev IS NULL OR prev <> o_orderpriority),
+             | dim AS (
+             |  SELECT o_custkey AS du, o_orderpriority AS prio,
+             |         od AS valid_from,
+             |         lead(od) OVER (PARTITION BY o_custkey
+             |           ORDER BY od, o_orderkey) AS valid_to
+             |  FROM ch),
+             | ev AS (
+             |  SELECT event_type, user_id,
+             |         788918400000000 + (epoch_us(ts) - 1704067200000000) * 80
+             |           AS pit
+             |  FROM events),
+             | j AS (
+             |  SELECT e.event_type, coalesce(d.prio, 'none') AS prio
+             |  FROM ev e LEFT JOIN dim d
+             |    ON e.user_id = d.du AND e.pit >= d.valid_from
+             |   AND (d.valid_to IS NULL OR e.pit < d.valid_to))
+             |SELECT event_type, prio, CAST(count(*) AS BIGINT) AS n
+             |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     QueryDef(
       "x176_stream_sessionize",

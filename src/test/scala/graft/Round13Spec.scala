@@ -55,6 +55,24 @@ class Round13Spec extends SparkSuite {
     rows.foreach { r => assert(r._2 == r._3 + r._4, s"counts disagree: $r") }
   }
 
+  test("x222 stream SCD2: every event enriched exactly once, cold-start branch live") {
+    val rows = SparkEntry.queries("x222_stream_scd2_enrich")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // <= 1 interval matches per event (intervals partition the per-user
+    // timeline), so the enriched total is exactly the event count.
+    val total = rows.map(_._3).sum
+    val n = Tables.events(spark, sfDir).count()
+    assert(total == n, s"enrichment duplicated or dropped events: $total != $n")
+    // All five dimension values AND the pre-first-interval cold-start
+    // branch are live — the point-in-time lookup is genuinely selective,
+    // not a degenerate current-row join.
+    val prios = rows.map(_._2).toSet
+    assert(prios.size == 6 && prios.contains("none"),
+      s"expected 5 priorities + 'none', got $prios")
+    assert(rows.map(_._1).toSet.size == 5, "an event type vanished")
+    rows.foreach { r => assert(r._3 > 0, s"empty cell emitted: $r") }
+  }
+
   test("x220 silhouette: full partition, four live clusters, valid score range") {
     val rows = SparkEntry.queries("x220_silhouette")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
