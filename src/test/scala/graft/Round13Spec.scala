@@ -73,6 +73,33 @@ class Round13Spec extends SparkSuite {
     rows.foreach { r => assert(r._3 > 0, s"empty cell emitted: $r") }
   }
 
+  test("x223 DP release: noise applied, calibrated, accounted; post-processing holds") {
+    val rows = SparkEntry.queries("x223_dp_release")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val (hist, total) = rows.partition(_._1 == "hist")
+    assert(hist.length == 5 && total.length == 1)
+    rows.foreach { r =>
+      assert(r._3 >= 0, s"zero clamp failed: $r")
+      assert(r._4 == 500000L, s"epsilon accounting drifted: $r")
+    }
+    // Noise actually fired (no cell landed on an exact count)...
+    assert(rows.exists(_._3 % 1000000L != 0L), "no cell shows any noise")
+    // ...and is calibrated: with b = 2, every |noise| beyond 30 has
+    // probability e^-15 — a violation means the draw or scale is wrong.
+    val trueCounts = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    hist.foreach { r =>
+      val err = math.abs(r._3 - trueCounts(r._2) * 1000000L)
+      assert(err <= 30000000L, s"noise out of calibration band: $r err=$err")
+      assert(err > 0, s"cell published exactly: $r")
+    }
+    val n = trueCounts.values.sum
+    assert(math.abs(total.head._3 - n * 1000000L) <= 30000000L,
+      s"total mechanism miscalibrated: ${total.head} vs $n")
+  }
+
   test("x220 silhouette: full partition, four live clusters, valid score range") {
     val rows = SparkEntry.queries("x220_silhouette")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
