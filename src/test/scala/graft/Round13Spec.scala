@@ -100,6 +100,23 @@ class Round13Spec extends SparkSuite {
       s"total mechanism miscalibrated: ${total.head} vs $n")
   }
 
+  test("x224 KMV: merge law holds bitwise, estimate inside the 1/sqrt(k) band") {
+    val rows = SparkEntry.queries("x224_kmv_bottomk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val (summary, cert) = rows.partition(_._1 == 0L)
+    assert(cert.map(_._1).toSeq == (1L to 32L), "rank spine broken")
+    // The mergeability law, bitwise: bottom-k(union) == bottom-k(union of
+    // per-source bottom-k's) at every rank.
+    cert.foreach { r => assert(r._3 == 1L, s"merge law violated at rank ${r._1}") }
+    // KMV estimate: (k-1)H/h_k within the ~1/sqrt(k) relative band (the
+    // draws are hash-fixed, so this is a deterministic regression pin,
+    // not a flaky statistical test).
+    val (est, vtrue) = (summary.head._2, summary.head._3)
+    assert(math.abs(est - vtrue) * 100 <= vtrue * 35,
+      s"KMV estimate $est outside 35% of true $vtrue")
+  }
+
   test("x220 silhouette: full partition, four live clusters, valid score range") {
     val rows = SparkEntry.queries("x220_silhouette")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
