@@ -117,6 +117,28 @@ class Round13Spec extends SparkSuite {
       s"KMV estimate $est outside 35% of true $vtrue")
   }
 
+  test("x225 CSV ingest: lossless by count, quarantine is exactly the corrupt class") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("x225_csv_ingest")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.events(spark, sfDir)
+    assert(rows.map(_._2).sum == ev.count(),
+      "ingest dropped or duplicated rows")
+    rows.foreach { r =>
+      assert(r._2 == r._3 + r._4, s"quarantine + clean != rows: $r")
+      assert(r._3 > 0, s"quarantine branch vacuous for ${r._1}")
+    }
+    // PERMISSIVE quarantined EXACTLY the constructed corrupt class — no
+    // over-flagging, no silent salvage.
+    val expected = ev.filter(col("event_id") % 13 === 5)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r._3 == expected(r._1),
+        s"quarantine != corrupt class for ${r._1}: ${r._3} vs ${expected(r._1)}")
+    }
+  }
+
   test("x220 silhouette: full partition, four live clusters, valid score range") {
     val rows = SparkEntry.queries("x220_silhouette")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
