@@ -139,6 +139,27 @@ class Round13Spec extends SparkSuite {
     }
   }
 
+  test("x226 BFS: one source, live layers, full node accounting") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("x226_graph_bfs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val byDist = rows.map(r => r._1 -> r._2).toMap
+    assert(byDist(0L) == 1L, "exactly one source node at dist 0")
+    assert(Seq(1L, 2L, 3L).forall(d => byDist.getOrElse(d, 0L) > 0L),
+      s"a BFS layer died at the spec SF: $byDist")
+    // Every graph node is accounted for exactly once (reached or -1).
+    val op = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val nNodes = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select("src").distinct().count()
+    assert(rows.map(_._2).sum == nNodes,
+      s"BFS lost nodes: ${rows.map(_._2).sum} != $nNodes")
+  }
+
   test("x220 silhouette: full partition, four live clusters, valid score range") {
     val rows = SparkEntry.queries("x220_silhouette")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
