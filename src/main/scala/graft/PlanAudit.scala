@@ -88,6 +88,31 @@ object PlanAudit {
     check("x75_gapfill", "grid join + fill window both partition on user_id (no single-partition window)",
       p => "hashpartitioning\\(user_id".r.findAllIn(p).length >= 2 &&
         !p.contains("SinglePartition, Window"))
+    check("x217_hybrid_rrf", "query-sized tables broadcast, rank windows pruned",
+      p => "BroadcastHashJoin".r.findAllIn(p).length >= 3 &&
+        p.contains("WindowGroupLimit") && !p.contains("CartesianProduct"))
+    check("x218_rank_agreement", "RBO weight spine broadcast, no cartesian",
+      p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    check("x220_silhouette", "centroid table broadcast to the corpus pass",
+      p => p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    // The only BNLJ in x221 is the 1-row n_truth stats cross join; the
+    // similarity-bearing joins must be HASH joins on the blocking keys.
+    check("x221_entity_resolution", "blocking stays equi-keyed (no all-pairs path)",
+      p => !p.contains("CartesianProduct") &&
+        "BroadcastHashJoin \\[substring".r.findAllIn(p).length >= 1 &&
+        "BroadcastHashJoin \\[dnation".r.findAllIn(p).length >= 1)
+    check("x224_kmv_bottomk", "per-source bottom-k pruned before the shuffle",
+      p => p.contains("WindowGroupLimit") &&
+        p.contains("TakeOrderedAndProject"))
+    check("x225_csv_ingest", "real CSV file source (not a parsed-literal shim)",
+      p => p.toLowerCase.contains("csv"))
+    // The per-round anti-joins execute eagerly inside the localCheckpoint
+    // rounds; the finalized plan shows the checkpointed iterate (an
+    // ExistingRDD scan) joined LeftOuter to the node spine.
+    check("x226_graph_bfs", "final pass joins the checkpointed iterate (no cartesian)",
+      p => p.contains("LeftOuter") && p.contains("ExistingRDD") &&
+        !p.contains("CartesianProduct"))
     // AQE's executedPlan string contains final + initial renderings, so a
     // single physical shuffle appears twice — the bound is 2, not 1.
     check("x78_upsert_merge", "top-1 window and per-key count share ONE shuffle of orders",
