@@ -105,8 +105,11 @@ object PlanAudit {
     check("x224_kmv_bottomk", "per-source bottom-k pruned before the shuffle",
       p => p.contains("WindowGroupLimit") &&
         p.contains("TakeOrderedAndProject"))
+    // Must match the DATASOURCE node, not the staged path (which is named
+    // graft_csv_<key>, so a bare "csv" substring is vacuous — r11 advice):
+    // V1 renders "FileScan csv", DSv2 renders a CSVScan node.
     check("x225_csv_ingest", "real CSV file source (not a parsed-literal shim)",
-      p => p.toLowerCase.contains("csv"))
+      p => p.contains("FileScan csv") || p.contains("CSVScan"))
     // The per-round anti-joins execute eagerly inside the localCheckpoint
     // rounds; the finalized plan shows the checkpointed iterate (an
     // ExistingRDD scan) joined LeftOuter to the node spine.

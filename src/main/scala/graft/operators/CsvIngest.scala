@@ -31,19 +31,30 @@ object CsvIngest {
   private def stage(spark: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(dir, "events.parquet")
-    val srcBytes =
-      if (Files.isRegularFile(src)) Files.size(src)
-      else {
-        val s = Files.list(src)
-        try {
-          val it = s.iterator()
-          var t = 0L
-          while (it.hasNext) { val p = it.next(); if (Files.isRegularFile(p)) t += Files.size(p) }
-          t
-        } finally s.close()
-      }
-    val key = java.lang.Long.toHexString(
-      java.util.Objects.hash("csv1", dir, srcBytes).toLong & 0xffffffffL)
+    // Content-identity key: 128-bit MD5 over the SORTED per-file
+    // (name, size, mtime) listing — not a 32-bit hash of total bytes
+    // (r11 advice: a regenerated fixture with identical total size, or a
+    // 32-bit dir collision, would silently reuse a stale staged CSV while
+    // the oracle replays the fresh construction).
+    val listing = {
+      val files =
+        if (Files.isRegularFile(src)) Seq(src)
+        else {
+          val s = Files.list(src)
+          try {
+            val b = Seq.newBuilder[java.nio.file.Path]
+            val it = s.iterator()
+            while (it.hasNext) { val p = it.next(); if (Files.isRegularFile(p)) b += p }
+            b.result()
+          } finally s.close()
+        }
+      files.map(p => s"${p.getFileName}:${Files.size(p)}:" +
+          s"${Files.getLastModifiedTime(p).toMillis}")
+        .sorted.mkString(s"csv2|$dir|", "|", "")
+    }
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
     val staged = Paths.get(sys.props("java.io.tmpdir"), s"graft_csv_$key")
     if (!Files.isDirectory(staged)) {
       val tmp = Paths.get(staged.toString + "_tmp_" +
@@ -51,6 +62,17 @@ object CsvIngest {
       val uid = when(col("event_id") % 13 === 5,
         concat(lit("x"), col("user_id").cast("string")))
         .otherwise(col("user_id").cast("string"))
+      // Fail-fast invariant (r11 advice): the staged lines are written by
+      // concat_ws with NO quoting, so the single free-text field must not
+      // carry the delimiter, a quote, or a newline — otherwise fields
+      // would silently shift and diverge from the oracle, which replays
+      // the construction rather than parsing. One map-side count at
+      // staging time (staging runs once per content key).
+      val nBad = Tables.events(spark, dir)
+        .filter(col("event_type").rlike("[,\"\n\r]")).count()
+      require(nBad == 0L,
+        s"x225 staging invariant violated: $nBad event_type values carry " +
+          "a CSV delimiter/quote/newline; staging would shift fields")
       Tables.events(spark, dir)
         .select(concat_ws(",",
           col("event_id"), uid, col("event_type"),

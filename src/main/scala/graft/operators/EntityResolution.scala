@@ -41,7 +41,18 @@ import org.apache.spark.sql.functions._
   */
 object EntityResolution {
 
-  /** Dirty twin + ghost construction, shared by Spark and the oracle. */
+  /** Dirty twin + ghost construction, shared by Spark and the oracle.
+    *
+    * Ghost ids sit at the smallest multiple of 10000 STRICTLY above
+    * max(c_custkey) (r11 advice: a fixed +100000 collides with real keys
+    * once the table passes 100k rows — sf ≳ 0.7 — and the collided ghost
+    * name then EQUALS the real name, silently breaking "ghosts match
+    * nobody" in both engines at once). A multiple of 10⁴ keeps the
+    * last-4-digit blocking key of the ghost name identical to its seed
+    * key's, so the designed near-miss candidates (levenshtein-1 at the
+    * ten-thousands digit) survive at any SF where the offset stays one
+    * digit wide.
+    */
   private def dirty(cust: DataFrame): DataFrame = {
     val name = col("c_name")
     val twinName = when(col("c_custkey") % 3 === 0,
@@ -56,12 +67,17 @@ object EntityResolution {
         .otherwise(col("c_nationkey")).as("dnation"),
       when(col("c_custkey") % 5 === 0, lit("UNKNOWN"))
         .otherwise(col("c_mktsegment")).as("dseg"))
-    val ghosts = cust.filter(col("c_custkey") % 7 === 0).select(
-      (col("c_custkey") + 100000).as("did"),
-      concat(lit("Customer#"),
-        lpad((col("c_custkey") + 100000).cast("string"), 9, "0")).as("dname"),
-      ((col("c_nationkey") + 3) % 25).as("dnation"),
-      col("c_mktsegment").as("dseg"))
+    val off = cust.agg(
+      ((floor(max(col("c_custkey")) / 10000) + 1) * 10000).as("off"))
+    val ghosts = cust.filter(col("c_custkey") % 7 === 0)
+      .crossJoin(broadcast(off))
+      .select(
+        (col("c_custkey") + col("off")).as("did"),
+        concat(lit("Customer#"),
+          lpad((col("c_custkey") + col("off")).cast("string"), 9, "0"))
+          .as("dname"),
+        ((col("c_nationkey") + 3) % 25).as("dnation"),
+        col("c_mktsegment").as("dseg"))
     twins.unionByName(ghosts)
   }
 
@@ -128,13 +144,15 @@ object EntityResolution {
       |         CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
       |              ELSE c_mktsegment END AS dseg
       |  FROM customer),
+      | off AS (SELECT (max(c_custkey) // 10000 + 1) * 10000 AS off
+      |         FROM customer),
       | ghosts AS (
-      |  SELECT c_custkey + 100000 AS did,
-      |         'Customer#' || lpad(CAST(c_custkey + 100000 AS VARCHAR), 9, '0')
+      |  SELECT c_custkey + off AS did,
+      |         'Customer#' || lpad(CAST(c_custkey + off AS VARCHAR), 9, '0')
       |           AS dname,
       |         (c_nationkey + 3) % 25 AS dnation,
       |         c_mktsegment AS dseg
-      |  FROM customer WHERE c_custkey % 7 = 0),
+      |  FROM customer CROSS JOIN off WHERE c_custkey % 7 = 0),
       | d AS (SELECT * FROM twins UNION ALL SELECT * FROM ghosts),
       | cand AS (
       |  SELECT DISTINCT did, dname, dnation, dseg,

@@ -39,7 +39,7 @@ object Round11bQueries {
   private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     def rowHash(text: org.apache.spark.sql.Column) =
-      h60(concat_ws("", col("doc_id").cast("string"), text,
+      h60(concat_ws("\u0001", col("doc_id").cast("string"), text,
         col("lang"), col("source"), col("n_chars").cast("string")))
     val old = docs.select(col("doc_id"), col("source"),
       rowHash(col("text")).as("h"))
@@ -51,7 +51,7 @@ object Round11bQueries {
     val added = docs.filter(col("doc_id") % 17 === 2)
       .crossJoin(broadcast(mx))
       .select((col("doc_id") + col("m")).as("doc_id"), col("source"),
-        h60(concat_ws("", (col("doc_id") + col("m")).cast("string"),
+        h60(concat_ws("\u0001", (col("doc_id") + col("m")).cast("string"),
           concat(lit("new "), col("text")), col("lang"), col("source"),
           col("n_chars").cast("string"))).as("h"))
     val nw = kept.unionByName(added)
