@@ -12,7 +12,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString).toInt
-    val spark = Sessions.local(cpus)
+    // var: the isolated-adjudication phase replaces the suite session with
+    // a fresh one (see below) so its measurements escape accumulated JVM/
+    // block-manager state.
+    var spark = Sessions.local(cpus)
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
@@ -29,7 +32,13 @@ object Bench {
       // LATER runs of the same queries (x02 measured 2.0s isolated vs 5.5s
       // in-suite in r3). Dropping leftovers after each query makes every
       // measurement start from the same clean block-manager state.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // EXCEPT the shared co-purchase table: it exists to be reused across
+      // the graph queries (r11 verdict #4 — per-run infrastructure, like a
+      // persisted edge table in production); sweeping it would force each
+      // graph query to re-derive it, which is exactly the waste it removes.
+      val keep = graft.operators.CoPurchaseGraph.sharedRddIds
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(r => keep(r.id)).foreach(_.unpersist(false))
       dt
     }
 
@@ -126,7 +135,17 @@ object Bench {
     // the confirmation IS the verdict ("real regression, not co-tenancy").
     // Routine top-5 entries that just confirm carry no information and
     // may be dropped from stdout (full map always in target/bench.json).
-    val isolated: Seq[(String, Double, Boolean)] =
+    // The isolated re-runs happen in a FRESH SparkSession after a full GC:
+    // r11's record showed the end-of-suite re-runs reading HIGHER than
+    // in-suite for five of eight entries (x171 13.1 isolated vs 2.3
+    // in-suite) — after 246 queries x 3 passes the accumulated
+    // session/JVM state dominated the measurement and the column INVERTED
+    // its purpose (it exists to separate real plan regressions from
+    // co-tenancy noise). Stopping the suite session drops the block
+    // manager, broadcast blocks, and listener queues; the JIT and the
+    // JVM-global codegen cache survive, so the fresh session still
+    // measures warm code (min-of-2 absorbs the rest).
+    val toIsolate: Seq[(String, Double, Boolean)] =
       if (only.nonEmpty) Seq.empty // isolation experiments: skip adjudication
       else results.flatMap { case (n, v) =>
         val drifted = priorTimes.get(outId(n)).orElse(priorTimes.get(sid(n))) match {
@@ -134,9 +153,29 @@ object Bench {
           case None => false
         }
         if (drifted || pinnedIsolated(n) || top5(n))
-          Some((n, math.min(run(n), run(n)), drifted || pinnedIsolated(n)))
+          Some((n, v, drifted || pinnedIsolated(n)))
         else None
       }
+    val isolated: Seq[(String, Double, Boolean)] =
+      if (toIsolate.isEmpty) Seq.empty
+      else {
+        spark.stop()
+        System.gc()
+        spark = Sessions.local(cpus)
+        toIsolate.map { case (n, _, adjudicating) =>
+          (n, math.min(run(n), run(n)), adjudicating)
+        }
+      }
+    // Sanity check on the protocol itself (r11 verdict #2): a CONFIRMING
+    // isolated number materially above in-suite means the fresh-session
+    // reset failed to remove the co-tenancy — surface it loudly (stderr,
+    // not a crash: the full-suite record must still land for the round).
+    isolated.foreach { case (n, iso, _) =>
+      val suite = results.toMap.getOrElse(n, iso)
+      if (iso > 1.5 * suite && iso - suite > 1.0)
+        System.err.println(f"[bench] WARNING isolated inversion: $n " +
+          f"isolated $iso%.1fs > 1.5x in-suite $suite%.1fs")
+    }
 
     // The driver tail-captures only the LAST 2000 chars of stdout
     // (measured from BENCH_r04.json), and the full-name query map alone is
@@ -146,14 +185,45 @@ object Bench {
     // shortened to their id prefix (q01/x39 — the driver contract's own
     // example uses "q1"), values rounded to ms. ~13 bytes/query keeps the
     // line under 2 KB well past 140 queries.
+    // --- suite-level drift gate (r11 verdict #5): the common-query sum vs
+    // the prior round's record. r11 drifted +28.5 s (12%) on 208 unchanged
+    // queries and nothing mechanical caught it; per-query adjudication
+    // only fires at 1.5x, which broad shallow drift never trips. The gate
+    // compares Σ(time) over queries present in BOTH rounds and flags the
+    // record when the sum exceeds 1.25x — "adjudication required" rides
+    // the committed JSON (and stdout when it fires), not an exit code:
+    // the round's record must land either way.
+    val commonDrift: Option[String] =
+      // Same-SF comparisons only: the prior record is the driver's sf0.1
+      // run, so a local smoke at another SF would compare apples to
+      // oranges (its absolute times are ~2x-10x off either way).
+      if (only.nonEmpty || priorTimes.isEmpty ||
+          new java.io.File(sfDir).getName != "sf0.1") None
+      else {
+        val common = results.filter { case (n, v) =>
+          v >= 0 && priorTimes.contains(outId(n))
+        }
+        if (common.isEmpty) None
+        else {
+          val prior = common.map(c => priorTimes(outId(c._1))).sum
+          val now = common.map(_._2).sum
+          val alarm = prior > 0 && now > 1.25 * prior
+          if (alarm)
+            System.err.println(f"[bench] WARNING common-query drift: " +
+              f"${common.size} shared queries $now%.1fs vs prior " +
+              f"$prior%.1fs (> 1.25x) — adjudication required")
+          Some(s""""common_drift":{"n":${common.size},"prior":${ms(prior)},"now":${ms(now)},"alarm":$alarm}""")
+        }
+      }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val isoFull = isolated
       .map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val driftFull = commonDrift.map("," + _).getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoFull$driftFull,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // ALSO drop the full-precision record at the repo root: past ~200
@@ -165,7 +235,10 @@ object Bench {
     // stays the at-a-glance summary. FULL runs only: an isolation
     // experiment (SPARK_GRAFT_BENCH_ONLY set) must never overwrite the
     // official full-suite record with a partial subset (r9 advice).
-    if (only.isEmpty)
+    // ... and OFFICIAL-SF runs only: the record is the sf0.1 number; a
+    // local sf0.001 smoke must not overwrite it any more than a partial
+    // subset may (same defect class as the r9 advice).
+    if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1")
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     def shortLine(rs: Seq[(String, Double)], note: String,
@@ -206,8 +279,13 @@ object Bench {
     // an elided count — a truncated-but-parseable line beats an
     // overflowing complete one.
     val lineCap = 1910
-    val withIsoLine = shortLine(results, "", withIso = true)
-    val noIsoLine = shortLine(results, "", withIso = false)
+    // The drift alarm earns stdout bytes only when it FIRES (the healthy
+    // case says nothing — the full numbers are in the committed JSON).
+    val driftNote =
+      if (commonDrift.exists(_.contains("\"alarm\":true")))
+        ""","drift_alarm":true""" else ""
+    val withIsoLine = shortLine(results, driftNote, withIso = true)
+    val noIsoLine = shortLine(results, driftNote, withIso = false)
     val compact =
       if (withIsoLine.length <= lineCap) withIsoLine
       else if (noIsoLine.length <= lineCap) noIsoLine
@@ -218,7 +296,7 @@ object Bench {
         while (line.length > lineCap && keep > 1) {
           keep -= 1
           line = shortLine(bySlow.take(keep).sortBy(_._1),
-            s""","elided":${results.length - keep}""", withIso = false)
+            s""","elided":${results.length - keep}$driftNote""", withIso = false)
         }
         line
       }

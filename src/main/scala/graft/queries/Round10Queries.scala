@@ -60,7 +60,7 @@ object Round10Queries {
       .select(col("p").as("u"), col("id").as("v"))
     val chainEdges = chain.filter(col("pos") < ChainLen)
       .select(col("id").as("u"), col("next").as("v"))
-    Round6bQueries.copurchaseEdges(s, dir)
+    graft.operators.CoPurchaseGraph.undirected(s, dir)
       .unionByName(anchorEdges).unionByName(chainEdges)
   }
 

@@ -182,19 +182,15 @@ object Round11bQueries {
     * is community-sized, not node-sized.
     */
   private def lpaCommunities(s: SparkSession, dir: String): DataFrame = {
-    val op = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     // Association-strength prune: keep edges co-purchased in >= 2 distinct
     // orders. On the raw graph (every pair sharing ANY order) min-tie LPA
     // floods to ONE label in 3 rounds — density, not a bug; the weighted
     // prune is both the standard community-graph construction and a 4×
     // edge-set cut (a real scale lever: the w>=2 tail is Zipf-thin).
-    val edges = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2).select("src", "dst")
-      .localCheckpoint()
+    // Served from the per-run shared co-purchase table (r11 verdict #4) —
+    // every round scans the shared checkpointed blocks through the w>=2
+    // filter instead of re-deriving the lineitem self-join.
+    val edges = graft.operators.CoPurchaseGraph.strong(s, dir)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to 3) {
@@ -223,7 +219,7 @@ object Round11bQueries {
        |         FROM c$i JOIN m$i ON c$i.node = m$i.node AND c$i.c = m$i.mc
        |         GROUP BY 1)""".stripMargin
 
-  private val lpaSql: String =
+  private[graft] val lpaSql: String =
     s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
        |            FROM lineitem),
        | ew AS (SELECT a.p AS src, b.p AS dst, count(*) AS w

@@ -20,11 +20,16 @@ object Round13Queries {
     * one equi-join + one anti-join, the frontier never re-expands settled
     * nodes (label-correcting BFS, not Bellman-Ford re-relaxation). Four
     * rounds are UNROLLED into the plan (the x144/x201 fixed-unroll
-    * decision: a data-dependent loop can't be oracle-replayed; the
-    * fixture's w≥2 graph settles in ≤4 hops at every SF and the residual
-    * `unreached` bucket (dist = −1) is emitted rather than hidden — at
-    * true 100 TB diameter the same body runs under the x172 convergence
-    * loop with dropCheckpoint'd iterates, shape unchanged).
+    * decision: a data-dependent loop can't be replayed by a plain
+    * oracle); the residual bucket (dist = −1) is emitted rather than
+    * hidden, and it holds BOTH the unreachable nodes and anything deeper
+    * than the budget — measured: at sf0.001 the graph settles in ≤4
+    * hops so −1 is purely unreachable, while at sf0.01 layers 5–9 exist
+    * and fold into −1 here. The convergence-loop twin x227
+    * ([[graft.operators.GraphLoops.bfsConverged]], its own
+    * recursive-CTE oracle) runs the same body to frontier exhaustion
+    * with dropCheckpoint'd iterates; the difference between the two −1
+    * buckets is exactly the budget-vs-diameter gap.
     *
     * Determinism: pure set algebra on integers — no scores, no ties.
     * Source = the MAX-DEGREE node (exact two-step argmax: max degree,
@@ -34,14 +39,8 @@ object Round13Queries {
     * explores nothing; the hub source keeps every layer live at every SF.
     */
   private def graphBfs(s: SparkSession, dir: String): DataFrame = {
-    val op = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val edges = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2).select("src", "dst")
-      .localCheckpoint()
+    // Shared per-run co-purchase graph, w>=2 prune (r11 verdict #4).
+    val edges = graft.operators.CoPurchaseGraph.strong(s, dir)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     val maxd = deg.agg(max(col("d")).as("md"))
     val source = deg.join(broadcast(maxd), col("d") === col("md"))
@@ -77,7 +76,7 @@ object Round13Queries {
        |  WHERE e.dst NOT IN (SELECT node FROM $p))""".stripMargin
   }
 
-  private val graphBfsSql: String =
+  private[graft] val graphBfsSql: String =
     s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
        |            FROM lineitem),
        | ew AS (SELECT a.p AS src, b.p AS dst, count(*) AS w

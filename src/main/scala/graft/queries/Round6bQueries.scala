@@ -79,17 +79,13 @@ object Round6bQueries {
     */
   private def pagerank(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-    val op = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    // The graph is consumed 5× (3 iteration joins + deg + nodes):
-    // materialize it once, or the basket self-join re-runs per consumer
-    // (6.3 s in-suite before; 3.8 s isolated after, at sf0.1). Production
-    // would persist the edge table anyway — iterate-over-snapshot, not
-    // over lineage.
-    val edges = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-      .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
-      .localCheckpoint()
+    // The graph is consumed 5× (3 iteration joins + deg + nodes) and by
+    // three sibling queries (x201/x226/x152 — same lineitem self-join):
+    // served from the per-run shared co-purchase table (r11 verdict #4;
+    // iterate-over-snapshot, not over lineage — production persists the
+    // edge table as infrastructure). Before sharing: 6.3 s in-suite /
+    // 3.8 s isolated at sf0.1 with a per-query checkpoint.
+    val edges = graft.operators.CoPurchaseGraph.directed(s, dir)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     val nodes = edges.select(col("src").as("node")).distinct()
@@ -500,7 +496,11 @@ object Round6bQueries {
     */
   private def triangles(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-    val (_, wedges) = wedgeTriangles(s, orientByDegree(copurchaseEdges(s, dir)))
+    // Edge base from the shared per-run co-purchase table (r11 verdict
+    // #4); the skew pair x162/x163 keeps the self-contained
+    // copurchaseEdges derivation — see CoPurchaseGraph's Scaladoc.
+    val (_, wedges) = wedgeTriangles(s,
+      orientByDegree(graft.operators.CoPurchaseGraph.undirected(s, dir)))
     wedges.agg(count(lit(1)).as("triangles"),
       countDistinct(col("e1.u")).as("apex_nodes"))
   }
