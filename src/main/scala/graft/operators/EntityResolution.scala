@@ -93,8 +93,12 @@ object EntityResolution {
   private def k2mid(name: Column): Column =
     substring(substring(name, -6, 6), 1, 4)
 
-  def resolve(spark: SparkSession, cust: DataFrame): DataFrame = {
-    val d = dirty(cust)
+  /** Blocked candidate pairs with the Fellegi–Sunter score attached —
+    * the shared front half of x221 (banded pair report) and x229
+    * (entity formation). `d` is whatever dirty-record stream the caller
+    * assembles; blocking and scoring are identical for both.
+    */
+  private def scoredCandidates(cust: DataFrame, d: DataFrame): DataFrame = {
     val c = cust.select(col("c_custkey"), col("c_name"),
       col("c_nationkey"), col("c_mktsegment"))
     // Pass 1: last-4 name chars. Pass 2: nation x mid-digits.
@@ -115,8 +119,13 @@ object EntityResolution {
     val score = nameScore +
       when(col("dnation") === col("c_nationkey"), 800L).otherwise(-300L) +
       when(col("dseg") === col("c_mktsegment"), 300L).otherwise(-200L)
-    val scored = cand.select(
-      when(score >= 3000L, "match").when(score >= 2000L, "review")
+    cand.withColumn("score", score)
+  }
+
+  def resolve(spark: SparkSession, cust: DataFrame): DataFrame = {
+    val scored = scoredCandidates(cust, dirty(cust)).select(
+      when(col("score") >= 3000L, "match")
+        .when(col("score") >= 2000L, "review")
         .otherwise("nonmatch").as("decision"),
       (col("did") === col("c_custkey")).cast("long").as("is_true"))
 
@@ -129,6 +138,100 @@ object EntityResolution {
         expr("n_true * 1000 DIV n_pairs").as("precision_permille"),
         expr("n_true * 1000 DIV n_truth").as("recall_permille"))
       .orderBy("decision")
+  }
+
+  /** x229: pairs → ENTITIES (r11 verdict #8) — production linkage does
+    * not stop at scored pairs: it forms entity clusters by transitive
+    * closure over admitted matches and elects a surviving record per
+    * entity. This query composes three certified pieces: x221's blocking
+    * + scoring (verbatim, via [[scoredCandidates]]), x172's
+    * alternating-star components over the bipartite (clean, dirty) match
+    * graph, and x200's two-step argmax for survivorship (max score, then
+    * min did — single-pass max_by is tie-nondeterministic, and ties are
+    * REAL here: a case-mangled twin and a case-mangled second observation
+    * score identically).
+    *
+    * The dirty stream adds a SECOND observation per even-keyed customer
+    * (same entity seen by another source, case-mangled, did in the
+    * [2·off, 3·off) band) so entities genuinely need closure: the
+    * canonical entity is a star {clean record, twin, second observation}
+    * reachable only through the shared clean node.
+    *
+    * Entity admission is STRICTER than x221's match band: score >= 3000
+    * AND the name evidence is not a same-length substitution
+    * (levenshtein 1 with equal lengths means a DIGIT of the id-bearing
+    * name changed — on an id-like field that is evidence of a DIFFERENT
+    * entity, while a length-changing edit is the typo class). Measured
+    * basis: at sf0.1 the plain >= 3000 band contains 14 ghost pairs and
+    * 1149 lookalike-neighbor pairs, every one a same-length
+    * substitution; the guard excludes the entire class, and ghosts are
+    * excluded STRUCTURALLY at any SF (a ghost name is never exactly
+    * equal to a real name, and its length always matches — so no
+    * admissible evidence class exists for a ghost). The n_ghost column
+    * certifies that through the oracle at every SF rather than only in
+    * a spec fixture.
+    *
+    * Scale: admission is a filter on the blocked pair set (never
+    * all-pairs); the closure runs alternating-star (O(log n) rounds) on
+    * a match-band-sized edge list; survivorship is two hash aggregates.
+    *
+    * Measured over-merge (hash-certified at sf0.1): exactly one entity
+    * carries n_clean = 2 — customer 1359's char-dropped twin
+    * "Customer#00001359" is ONE INSERTION from both real names
+    * ...001359 and ...011359 (the drop landed on a leading digit), so
+    * the typo class genuinely cannot distinguish the two and the closure
+    * merges them. That is correct ER behavior: ambiguous evidence
+    * surfaces as a multi-registry entity in the report (the n_clean
+    * column exists for exactly this), rather than being silently
+    * resolved either way.
+    */
+  def entities(spark: SparkSession, cust: DataFrame): DataFrame = {
+    val off = cust.agg(
+      ((floor(max(col("c_custkey")) / 10000) + 1) * 10000).as("off"))
+    val obs2 = cust.filter(col("c_custkey") % 2 === 0)
+      .crossJoin(broadcast(off))
+      .select(
+        (col("c_custkey") + col("off") * 2).as("did"),
+        upper(col("c_name")).as("dname"),
+        col("c_nationkey").as("dnation"),
+        col("c_mktsegment").as("dseg"))
+    val d = dirty(cust).unionByName(obs2)
+    val sc = scoredCandidates(cust, d)
+    val admitted = sc.filter(col("score") >= 3000L &&
+      (lower(col("dname")) === lower(col("c_name")) ||
+        length(col("dname")) =!= length(col("c_name"))))
+
+    // Bipartite node encoding: clean key k -> 2k, dirty id -> 2*did+1.
+    // Component minima are always clean nodes (a dirty record's own key
+    // is >= its entity's minimum clean key), so cluster_id div 2 is the
+    // canonical clean key.
+    val pairs = admitted.select((col("c_custkey") * 2).as("a"),
+      (col("did") * 2 + 1).as("b"))
+    val cl = ConnectedComponents.alternatingStar(pairs)
+
+    val cleanAgg = cl.filter(col("doc_id") % 2 === 0)
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_clean"))
+    val dirtyBest = admitted.groupBy("did").agg(max(col("score")).as("bs"))
+    val dm = cl.filter(col("doc_id") % 2 === 1)
+      .select(col("cluster_id"), expr("(doc_id - 1) div 2").as("did"))
+      .join(dirtyBest, "did")
+      .crossJoin(broadcast(off))
+    val dirtyAgg = dm.groupBy("cluster_id").agg(
+      count(lit(1)).as("n_dirty"),
+      sum((col("did") >= col("off") && col("did") < col("off") * 2)
+        .cast("long")).as("n_ghost"),
+      max(col("bs")).as("best_score"))
+    val survivor = dm
+      .join(dirtyAgg.select(col("cluster_id"), col("best_score")),
+        "cluster_id")
+      .filter(col("bs") === col("best_score"))
+      .groupBy("cluster_id").agg(min(col("did")).as("survivor_did"))
+
+    cleanAgg.join(dirtyAgg, "cluster_id").join(survivor, "cluster_id")
+      .select(expr("cluster_id div 2").as("entity_id"), col("n_clean"),
+        col("n_dirty"), col("n_ghost"), col("survivor_did"),
+        col("best_score"))
+      .orderBy("entity_id")
   }
 
   private val resolveSql: String =
@@ -193,9 +296,107 @@ object EntityResolution {
       |FROM scored CROSS JOIN tot
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** x229's oracle: the full replay — dirty construction (twins, ghosts,
+    * second observations), both blocking passes, scoring, the guarded
+    * admission, a RECURSIVE transitive closure over the bipartite match
+    * graph, and the two-step survivorship election.
+    */
+  private val entitiesSql: String =
+    """WITH RECURSIVE
+      | off AS (SELECT (max(c_custkey) // 10000 + 1) * 10000 AS off
+      |         FROM customer),
+      | twins AS (
+      |  SELECT c_custkey AS did,
+      |         CASE WHEN c_custkey % 3 = 0 THEN
+      |                substr(c_name, 1, CAST(c_custkey % 10 AS INT))
+      |                  || substr(c_name, CAST(c_custkey % 10 AS INT) + 2)
+      |              WHEN c_custkey % 3 = 1 THEN upper(c_name)
+      |              ELSE c_name END AS dname,
+      |         CASE WHEN c_custkey % 3 = 2 THEN (c_nationkey + 1) % 25
+      |              ELSE c_nationkey END AS dnation,
+      |         CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
+      |              ELSE c_mktsegment END AS dseg
+      |  FROM customer),
+      | ghosts AS (
+      |  SELECT c_custkey + off AS did,
+      |         'Customer#' || lpad(CAST(c_custkey + off AS VARCHAR), 9, '0')
+      |           AS dname,
+      |         (c_nationkey + 3) % 25 AS dnation,
+      |         c_mktsegment AS dseg
+      |  FROM customer CROSS JOIN off WHERE c_custkey % 7 = 0),
+      | obs2 AS (
+      |  SELECT c_custkey + 2 * off AS did, upper(c_name) AS dname,
+      |         c_nationkey AS dnation, c_mktsegment AS dseg
+      |  FROM customer CROSS JOIN off WHERE c_custkey % 2 = 0),
+      | d AS (SELECT * FROM twins UNION ALL SELECT * FROM ghosts
+      |       UNION ALL SELECT * FROM obs2),
+      | cand AS (
+      |  SELECT DISTINCT did, dname, dnation, dseg,
+      |         c_custkey, c_name, c_nationkey, c_mktsegment
+      |  FROM (
+      |    SELECT d.*, c.c_custkey, c.c_name, c.c_nationkey, c.c_mktsegment
+      |    FROM d JOIN customer c
+      |      ON substr(d.dname, length(d.dname) - 3, 4)
+      |           = substr(c.c_name, length(c.c_name) - 3, 4)
+      |    UNION ALL
+      |    SELECT d.*, c.c_custkey, c.c_name, c.c_nationkey, c.c_mktsegment
+      |    FROM d JOIN customer c
+      |      ON d.dnation = c.c_nationkey
+      |     AND substr(d.dname, length(d.dname) - 5, 4)
+      |           = substr(c.c_name, length(c.c_name) - 5, 4)) u),
+      | sc AS (
+      |  SELECT did, c_custkey, dname, c_name,
+      |         (CASE WHEN lower(dname) = lower(c_name) THEN 4000
+      |               WHEN levenshtein(lower(dname), lower(c_name)) <= 1
+      |                 THEN 2000
+      |               ELSE -1000 END
+      |          + CASE WHEN dnation = c_nationkey THEN 800 ELSE -300 END
+      |          + CASE WHEN dseg = c_mktsegment THEN 300 ELSE -200 END) AS s
+      |  FROM cand),
+      | m AS (SELECT did, c_custkey, s FROM sc
+      |       WHERE s >= 3000 AND (lower(dname) = lower(c_name)
+      |                            OR length(dname) <> length(c_name))),
+      | e0 AS (SELECT DISTINCT 2 * c_custkey AS a, 2 * did + 1 AS b FROM m),
+      | edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+      | reach(src, dst) AS (
+      |   SELECT DISTINCT a AS src, a AS dst FROM edges
+      |   UNION
+      |   SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a),
+      | cl AS (SELECT src AS node, min(dst) AS cluster_id
+      |        FROM reach GROUP BY 1),
+      | cleanagg AS (SELECT cluster_id, count(*) AS n_clean
+      |              FROM cl WHERE node % 2 = 0 GROUP BY 1),
+      | dbest AS (SELECT did, max(s) AS bs FROM m GROUP BY 1),
+      | dm AS (SELECT cl.cluster_id, (cl.node - 1) // 2 AS did, b.bs
+      |        FROM cl JOIN dbest b ON (cl.node - 1) // 2 = b.did
+      |        WHERE cl.node % 2 = 1),
+      | dagg AS (SELECT dm.cluster_id, count(*) AS n_dirty,
+      |                 sum(CASE WHEN dm.did >= off.off
+      |                           AND dm.did < 2 * off.off
+      |                          THEN 1 ELSE 0 END) AS n_ghost,
+      |                 max(dm.bs) AS best_score
+      |          FROM dm CROSS JOIN off GROUP BY 1),
+      | surv AS (SELECT dm.cluster_id, min(dm.did) AS survivor_did
+      |          FROM dm JOIN dagg ON dm.cluster_id = dagg.cluster_id
+      |                           AND dm.bs = dagg.best_score
+      |          GROUP BY 1)
+      |SELECT CAST(c.cluster_id // 2 AS BIGINT) AS entity_id,
+      |       CAST(c.n_clean AS BIGINT) AS n_clean,
+      |       CAST(g.n_dirty AS BIGINT) AS n_dirty,
+      |       CAST(g.n_ghost AS BIGINT) AS n_ghost,
+      |       CAST(v.survivor_did AS BIGINT) AS survivor_did,
+      |       CAST(g.best_score AS BIGINT) AS best_score
+      |FROM cleanagg c JOIN dagg g ON c.cluster_id = g.cluster_id
+      |JOIN surv v ON c.cluster_id = v.cluster_id
+      |ORDER BY entity_id""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef(
       "x221_entity_resolution",
       (s, dir) => resolve(s, Tables.customer(s, dir)),
-      Some(resolveSql)))
+      Some(resolveSql)),
+    QueryDef(
+      "x229_er_entities",
+      (s, dir) => entities(s, Tables.customer(s, dir)),
+      Some(entitiesSql)))
 }
