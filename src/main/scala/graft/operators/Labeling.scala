@@ -69,6 +69,52 @@ object Labeling {
       .orderBy("qid")
   }
 
+  /** x230: the ANN-BACKED kNN classifier (r11 verdict #6) — x173's vote
+    * tail composed onto x185's escalated candidate generator instead of
+    * the brute-force corpus scan, at radius 2 (the x185-certified floor
+    * radius: smallest radius whose recall@k clears 90% on every probe
+    * query — the tuning story x185 exists to close). The vote windows,
+    * k, tie-breaks, and corpus definition (vec_id >= probe set) are
+    * x173's verbatim; only the scored input changes — exactly the
+    * composition Labeling's Scaladoc promised.
+    *
+    * The per-query `cands` column is the scanned-row budget the ANN
+    * route paid (vs the full corpus x173 scans per probe) — hash-gated
+    * through the oracle so the sub-corpus claim is data, not prose.
+    * AnnKnnSpec pins >= 90% label agreement with the exact x173 path
+    * and the budget ratio. On this near-uniform fixture the radius-2
+    * budget is a large corpus fraction (the x185 data property); on
+    * clustered real embeddings the same plan pays a small one.
+    *
+    * Scale: one banded-index pass + broadcast probe sequence (x185's
+    * shape) replaces x173's per-probe full-corpus scan — the brute-force
+    * path is O(|corpus| · |probes|) cosines ALWAYS, the ANN path is
+    * O(|candidates|) where the index concentrates.
+    */
+  def annKnnClassify(spark: SparkSession, emb: DataFrame): DataFrame = {
+    val wTop = Window.partitionBy("qid")
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    val wVote = Window.partitionBy("qid")
+      .orderBy(desc("votes"), asc("label"))
+    val cand = Similarity.escalatedCandidates(spark, emb)
+      .filter(col("vec_id") >= MaxProbeId) // x173's corpus: non-probe rows
+      .select("qid", "vec_id", "cos_sim")
+    val budget = cand.groupBy("qid").agg(count(lit(1)).as("cands"))
+    cand
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= K)
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("label")),
+        "vec_id")
+      .groupBy("qid", "label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .join(budget, "qid")
+      .select(col("qid"), col("label").as("pred_label"), col("votes"),
+        col("cands"))
+      .orderBy("qid")
+  }
+
   /** x174: contrastive pair mining — per anchor, the most similar
     * SAME-label corpus point (positive) and the most similar
     * DIFFERENT-label point (hard negative), the pair a contrastive
@@ -135,5 +181,9 @@ object Labeling {
     QueryDef(
       "x174_hard_negatives",
       (s, dir) => hardNegatives(s, Tables.embeddings(s, dir)),
-      Some(hardNegSql)))
+      Some(hardNegSql)),
+    QueryDef(
+      "x230_ann_knn_classify",
+      (s, dir) => annKnnClassify(s, Tables.embeddings(s, dir)),
+      Some(Similarity.annKnnClassifySql)))
 }

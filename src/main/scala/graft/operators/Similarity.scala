@@ -391,8 +391,14 @@ object Similarity {
     * WindowGroupLimit-pruned per (radius, qid), and the exact side is the
     * one extra corpus pass every offline recall eval pays by design.
     */
-  def annRerankFloor(spark: SparkSession, emb: DataFrame): DataFrame = {
-    import RecallCert.{probeSet, k, planes, bands, bandBits}
+  /** The radius-escalated candidate set behind x185 (and x230's ANN-kNN):
+    * per (probe qid, corpus vec_id) reached within band-hamming <= 2, the
+    * admission level (min mask popcount over matching probes) and the
+    * exact cosine. One banded-index pass, probe table broadcast.
+    */
+  private[operators] def escalatedCandidates(spark: SparkSession,
+      emb: DataFrame): DataFrame = {
+    import RecallCert.{probeSet, planes, bands, bandBits}
     graft.functions.GraftFunctions.register(spark)
     val banded = bandedSigs(hyperplaneSigs(spark, emb, planes), planes, bands)
     val qBands = banded.filter(col("vec_id") < probeSet)
@@ -408,10 +414,15 @@ object Similarity {
         col("p.lv").as("lv"), col("q"))
     // One bucket join admits every radius-≤2 candidate; min mask popcount
     // over its matches is the candidate's admission level.
-    val cand = banded.join(broadcast(probes), Seq("band", "bv"))
+    banded.join(broadcast(probes), Seq("band", "bv"))
       .groupBy("qid", "vec_id")
       .agg(min(col("lv")).as("lvl"),
         round(cosine(first(col("e")), first(col("q"))), 6).as("cos_sim"))
+  }
+
+  def annRerankFloor(spark: SparkSession, emb: DataFrame): DataFrame = {
+    import RecallCert.{probeSet, k}
+    val cand = escalatedCandidates(spark, emb)
     val radii = spark.range(0, 3).select(col("id").as("radius"))
     val perR = cand.join(broadcast(radii), col("lvl") <= col("radius"))
     val w = org.apache.spark.sql.expressions.Window
@@ -751,6 +762,46 @@ object Similarity {
        |     JOIN b ON b.radius = r.radius AND b.qid = ex.qid
        |GROUP BY 1, 2, 3
        |ORDER BY 1, 2""".stripMargin
+  }
+
+  // x230: the ANN-backed kNN classifier's oracle — x185's admission-level
+  // candidate definition (lvl <= 2, the certified floor radius) restricted
+  // to the labeled corpus (vec_id >= probeSet, x173's corpus definition),
+  // re-ranked to top-k, majority-voted on labels with x173's exact
+  // tie-break, plus the per-query scanned-candidate budget.
+  private[operators] val annKnnClassifySql: String = {
+    val lvl = (0 until RecallCert.bands).map(b =>
+      s"bit_count(xor((sg.sig >> ${b * RecallCert.bandBits}) & ${RecallCert.mask}," +
+        s" (q.qsig >> ${b * RecallCert.bandBits}) & ${RecallCert.mask}))")
+      .mkString("least(", ", ", ")")
+    s"""$sigCtesSql,
+       | q AS (SELECT sg.vec_id AS qid, sg.sig AS qsig, e.v AS qv
+       |       FROM e JOIN sg USING (vec_id)
+       |       WHERE sg.vec_id < ${RecallCert.probeSet}),
+       | lv AS (
+       |   SELECT q.qid, e.vec_id, $lvl AS lvl,
+       |          round(list_dot_product(e.v, q.qv)
+       |            / (sqrt(list_dot_product(e.v, e.v))
+       |             * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+       |   FROM e JOIN sg USING (vec_id), q
+       |   WHERE e.vec_id >= ${RecallCert.probeSet}),
+       | cand AS (SELECT qid, vec_id, cos_sim FROM lv WHERE lvl <= 2),
+       | top AS (SELECT qid, vec_id FROM (
+       |     SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |       ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM cand) z
+       |   WHERE rn <= ${RecallCert.k}),
+       | lab AS (SELECT t.qid, CAST(em.label AS BIGINT) AS label
+       |         FROM top t JOIN embeddings em ON t.vec_id = em.vec_id),
+       | votes AS (SELECT qid, label, count(*) AS votes
+       |           FROM lab GROUP BY 1, 2),
+       | b AS (SELECT qid, CAST(count(*) AS BIGINT) AS cands
+       |       FROM cand GROUP BY 1)
+       |SELECT v.qid, v.label AS pred_label,
+       |       CAST(v.votes AS BIGINT) AS votes, b.cands
+       |FROM (SELECT qid, label, votes, row_number() OVER (PARTITION BY qid
+       |        ORDER BY votes DESC, label) AS vr FROM votes) v
+       |JOIN b USING (qid)
+       |WHERE v.vr = 1 ORDER BY qid""".stripMargin
   }
 
   val queries: Seq[QueryDef] = Seq(

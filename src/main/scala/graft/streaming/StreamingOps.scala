@@ -419,6 +419,29 @@ object StreamingOps {
     * the staged source delivers batches in event-time order and equal
     * timestamps land in one range-partitioned file.
     */
+  /** The x203 per-(user, day) admission function — ONE definition shared
+    * by the declared query and the crash-recovery leg (QuotaRecoverySpec),
+    * so the restart proof covers the exact state body the query ships.
+    */
+  private def quotaFn(perDay: Int)
+      : (Long, Iterator[(Long, Long, Long)], GroupState[Map[Long, Int]])
+        => Iterator[(Long, Long)] =
+    (user: Long, batch: Iterator[(Long, Long, Long)],
+        state: GroupState[Map[Long, Int]]) => {
+      var counts = state.getOption.getOrElse(Map.empty[Long, Int])
+      val admitted = Seq.newBuilder[(Long, Long)]
+      batch.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, us, eid) =>
+        val day = us / 86400000000L
+        val c = counts.getOrElse(day, 0)
+        if (c < perDay) {
+          counts += day -> (c + 1)
+          admitted += ((user, eid))
+        }
+      }
+      state.update(counts)
+      admitted.result().iterator
+    }
+
   def streamingQuota(spark: SparkSession, dir: String, sinkName: String,
       perDay: Int = 3): DataFrame =
     withStreamPartitions(spark) {
@@ -429,22 +452,7 @@ object StreamingOps {
         .as[(Long, Long, Long)]
         .groupByKey(_._1)
         .flatMapGroupsWithState[Map[Long, Int], (Long, Long)](
-          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-          (user: Long, batch: Iterator[(Long, Long, Long)],
-              state: GroupState[Map[Long, Int]]) =>
-            var counts = state.getOption.getOrElse(Map.empty[Long, Int])
-            val admitted = Seq.newBuilder[(Long, Long)]
-            batch.toSeq.sortBy(e => (e._2, e._3)).foreach { case (_, us, eid) =>
-              val day = us / 86400000000L
-              val c = counts.getOrElse(day, 0)
-              if (c < perDay) {
-                counts += day -> (c + 1)
-                admitted += ((user, eid))
-              }
-            }
-            state.update(counts)
-            admitted.result().iterator
-        }
+          OutputMode.Update(), GroupStateTimeout.NoTimeout())(quotaFn(perDay))
         .toDF("user_id", "event_id")
         .writeStream
         .outputMode(OutputMode.Update())
@@ -1749,6 +1757,57 @@ object StreamingOps {
             // Crash AFTER the write, BEFORE the commit: the batch's
             // output exists on disk but is not checkpoint-committed — the
             // restart must replay it and the overwrite must dedup it.
+            if (failAtBatch.contains(id))
+              throw new RuntimeException(s"injected mid-drain crash at batch $id")
+            ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if failAtBatch.isDefined &&
+              Iterator.iterate(e: Throwable)(_.getCause)
+                .takeWhile(_ != null).take(10)
+                .exists(t => String.valueOf(t.getMessage)
+                  .contains("injected mid-drain crash")) =>
+          () // the leg was SUPPOSED to die here
+      }
+    }
+
+  /** The x203 quota as a restartable leg (r11 verdict #7): the same
+    * [[quotaFn]] body under a file source + checkpointed
+    * flatMapGroupsWithState + batchId-keyed idempotent sink, with an
+    * optional injected crash after a batch's (uncommitted) sink write.
+    * QuotaRecoverySpec kills leg 1 mid-drain, restarts from the same
+    * checkpoint, and proves the drained admissions equal the batch rule —
+    * i.e. the CUSTOM state class (an arbitrary Scala Map per user, not an
+    * engine-managed session window) survives restart exactly.
+    */
+  def quotaLeg(spark: SparkSession, srcDir: String, ckptDir: String,
+      outDir: String, failAtBatch: Option[Long], perDay: Int = 3): Unit =
+    withStreamPartitions(spark) {
+      import spark.implicits._
+      val events = spark.readStream.schema(eventsFileSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val q = events
+        .select(col("user_id"), col("ts").as("us"), col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[Map[Long, Int], (Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout())(quotaFn(perDay))
+        .toDF("user_id", "event_id")
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            batch.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+            // Crash AFTER the write, BEFORE the commit (the sessionizeLeg
+            // fault shape): the restart must replay the batch against the
+            // RESTORED per-user day-count maps and the overwrite dedups.
             if (failAtBatch.contains(id))
               throw new RuntimeException(s"injected mid-drain crash at batch $id")
             ()
