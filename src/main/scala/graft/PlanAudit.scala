@@ -324,6 +324,27 @@ object PlanAudit {
     check("x185_ann_rerank_floor",
       "per-(radius,query) re-rank pushed down as WindowGroupLimit",
       _.contains("WindowGroupLimit"))
+    // ---- round-12: ANN-kNN, ER entities, bitext mining -------------------
+    check("x230_ann_knn_classify",
+      "candidates route as the banded bucket equi-join; vote windows pruned",
+      p => p.contains("BroadcastHashJoin [band#") &&
+        p.contains("WindowGroupLimit") && !p.contains("CartesianProduct"))
+    // The closure ran eagerly inside alternating-star (checkpointed
+    // iterates → ExistingRDD); the blocking joins must stay equi-keyed
+    // hash joins and the only nested-loop joins are 1-row broadcasts.
+    check("x229_er_entities",
+      "blocking equi-keyed; closure consumed as checkpointed RDD; no cartesian",
+      p => !p.contains("CartesianProduct") && p.contains("ExistingRDD") &&
+        "BroadcastHashJoin \\[substring".r.findAllIn(p).length >= 1)
+    check("x235_bitext_mine",
+      "smaller language block broadcast; both argmaxes WindowGroupLimit-pruned",
+      p => p.contains("BroadcastNestedLoopJoin") &&
+        "WindowGroupLimit".r.findAllIn(p).length >= 2 &&
+        !p.contains("CartesianProduct"))
+    check("x238_vocab_coverage_sweep",
+      "rank is the vocab-bounded self-join + broadcast spine (no global window)",
+      p => !p.contains("SinglePartition, Window") &&
+        p.contains("BroadcastNestedLoopJoin"))
     check("x187_mix_apportion",
       "quota table broadcast; selection window partitions on source",
       p => p.contains("BroadcastHashJoin") &&
