@@ -158,22 +158,57 @@ object Round15bQueries {
     * Scale: one distinct-aggregate corpus pass builds the registers
     * (max is map-side combinable); everything after is 64 rows.
     */
-  private val M = 64
+  private[graft] val M = 64
   // alpha_64 * m^2 * 2^25 with alpha = 709/1000, precomputed as one
   // 64-bit literal (the int32 product would overflow in BOTH engines).
   private val HllNumer: Long = 709L * M * M * (1L << 25)
   private val lnSpine: Seq[(Int, Long)] =
     (1 to M).map(v => (v, math.round(math.log(M.toDouble / v) * 1000)))
 
-  private def hllCertify(s: SparkSession, dir: String): DataFrame = {
-    val keys = Tables.events(s, dir)
-      .select(col("user_id").cast("string").as("k")).distinct()
-    val hashed = keys.select(h60(col("k")).as("h"))
+  /** (bucket, rho) pairs for a key column — the HLL hashing shared by the
+    * batch certification and the x242 streaming twin.
+    */
+  private[graft] def hllRho(keys: DataFrame, keyCol: String): DataFrame =
+    keys.select(h60(col(keyCol)).as("h"))
       .select(expr(s"h % $M").as("b"),
         expr(s"h DIV $M % ${1L << 24}").as("r"))
       .select(col("b"),
         when(col("r") === 0, lit(25L))
           .otherwise(lit(25L) - length(bin(col("r")))).as("rho"))
+
+  /** The estimator tail over a COMPLETE 64-row register table — shared by
+    * the batch certification and the streaming twin, so both regimes and
+    * the regime rule are one definition.
+    */
+  private[graft] def hllReport(s: SparkSession, regs: DataFrame,
+      nTrue: Long, regDiff: Long): DataFrame = {
+    val sAgg = regs.agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - m AS INT))")).as("s"),
+      sum((col("m") === 0).cast("long")).as("v"))
+    import s.implicits._
+    val ln = lnSpine.toDF("v", "lnk")
+    sAgg.join(broadcast(ln), Seq("v"), "left")
+      .select(
+        expr(s"$HllNumer DIV (1000 * s)").as("est_hll"),
+        expr(s"$M * coalesce(lnk, 0) DIV 1000").as("est_lin"),
+        col("v").as("n_empty"))
+      .select(col("est_hll"), col("est_lin"), col("n_empty"),
+        // Standard regime rule: small-range correction while the raw
+        // estimate sits under 2.5m AND empty buckets remain.
+        when(col("est_hll") <= lit((5 * M / 2).toLong) && col("n_empty") > 0,
+          col("est_lin")).otherwise(col("est_hll")).as("est"),
+        lit(nTrue).as("n_true"),
+        lit(regDiff).as("merge_reg_diff"))
+      .select(col("est_hll"), col("est_lin"), col("n_empty"), col("est"),
+        col("n_true"), col("merge_reg_diff"),
+        (abs(col("est") - col("n_true")) * 1000 / col("n_true"))
+          .cast("long").as("err_permille"))
+  }
+
+  private def hllCertify(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.events(s, dir)
+      .select(col("user_id").cast("string").as("k")).distinct()
+    val hashed = hllRho(keys, "k")
     val spine = s.range(0, M).select(col("id").as("b"))
     val regs = spine.join(hashed.groupBy("b").agg(max(col("rho")).as("m")),
         Seq("b"), "left")
@@ -195,32 +230,10 @@ object Round15bQueries {
         perSrc.groupBy("b").agg(max(col("m")).as("m")), Seq("b"), "left")
       .select(col("b"), coalesce(col("m"), lit(0L)).as("m"))
     val regDiff = regs.join(merged, Seq("b", "m"), "left_anti").count()
-
-    val sAgg = regs.agg(
-      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - m AS INT))")).as("s"),
-      sum((col("m") === 0).cast("long")).as("v"))
-    import s.implicits._
-    val ln = lnSpine.toDF("v", "lnk")
-    val nTrue = keys.count()
-    sAgg.join(broadcast(ln), Seq("v"), "left")
-      .select(
-        expr(s"$HllNumer DIV (1000 * s)").as("est_hll"),
-        expr(s"$M * coalesce(lnk, 0) DIV 1000").as("est_lin"),
-        col("v").as("n_empty"))
-      .select(col("est_hll"), col("est_lin"), col("n_empty"),
-        // Standard regime rule: small-range correction while the raw
-        // estimate sits under 2.5m AND empty buckets remain.
-        when(col("est_hll") <= lit((5 * M / 2).toLong) && col("n_empty") > 0,
-          col("est_lin")).otherwise(col("est_hll")).as("est"),
-        lit(nTrue).as("n_true"),
-        lit(regDiff).as("merge_reg_diff"))
-      .select(col("est_hll"), col("est_lin"), col("n_empty"), col("est"),
-        col("n_true"), col("merge_reg_diff"),
-        (abs(col("est") - col("n_true")) * 1000 / col("n_true"))
-          .cast("long").as("err_permille"))
+    hllReport(s, regs, keys.count(), regDiff)
   }
 
-  private val hllCertifySql: String = {
+  private[graft] val hllCertifySql: String = {
     val lnValues = lnSpine.map { case (v, l) => s"($v, $l)" }.mkString(", ")
     def rhoSql(src: String): String =
       s"""SELECT $src.b, CASE WHEN r = 0 THEN 25

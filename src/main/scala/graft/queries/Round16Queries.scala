@@ -177,7 +177,7 @@ object Round16Queries {
       .orderBy("chk")
   }
 
-  private val dataContractSql: String =
+  private[graft] val dataContractSql: String =
     """WITH clean AS (SELECT event_id, user_id, event_type, value,
       |                      epoch_us(ts) AS us FROM events),
       | mx AS (SELECT max(us) AS mx FROM clean),

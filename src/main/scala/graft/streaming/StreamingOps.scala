@@ -526,6 +526,112 @@ object StreamingOps {
         .orderBy("day")
     }
 
+  /** x241: streaming data contract — x240's expectations gate evaluated
+    * ON THE FEED as it lands (the production placement: rejecting a
+    * malformed feed after it has been ingested is already too late).
+    * Same relational graft as x240, same five checks; the enum reference
+    * and freshness horizon are derived from the clean batch table BEFORE
+    * the stream starts (a 5-row + 1-row driver fetch, the x63 bounded
+    * justification — cheaper and simpler than a stream-static join for
+    * reference data this small). The per-check counters are one global
+    * update-mode aggregate (a single state row; counts monotone, drained
+    * value = max over emitted versions); drained ≡ batch by construction,
+    * so x241 SHARES x240's oracle verbatim — the hash gate proves the
+    * incremental contract equals the batch contract.
+    */
+  def streamingContract(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame =
+    withStreamPartitions(spark) {
+      spark.catalog.dropTempView(sinkName)
+      val clean = graft.Tables.events(spark, dir)
+        .withColumn("us", graft.functions.TimeCols.ntzEpochMicros("ts"))
+      val mx = clean.agg(max(col("us"))).collect()(0).getLong(0)
+      val enumVals = clean.select("event_type").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val q = stagedEventsStream(spark, dir)
+        .select(
+          when(col("event_id") % 13 === 5, -col("user_id") - 1)
+            .otherwise(col("user_id")).as("user_id"),
+          when(col("event_id") % 17 === 3,
+            concat(lit("zzz_"), col("event_type")))
+            .otherwise(col("event_type")).as("event_type"),
+          when(col("event_id") % 19 === 7, -col("value"))
+            .otherwise(col("value")).as("value"),
+          when(col("event_id") % 23 === 11, col("ts") + 315360000000000L)
+            .otherwise(col("ts")).as("us"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("user_id") < 0).cast("long")).as("uid"),
+          sum((!col("event_type").isin(enumVals: _*)).cast("long")).as("enm"),
+          sum((col("value") < 0).cast("long")).as("vl"),
+          sum((col("us") > mx).cast("long")).as("fr"),
+          sum(col("user_id").isNull.cast("long")).as("nl"))
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val agg = spark.table(sinkName).agg(
+        max(col("n")).as("n"), max(col("uid")).as("uid"),
+        max(col("enm")).as("enm"), max(col("vl")).as("vl"),
+        max(col("fr")).as("fr"), max(col("nl")).as("nl"))
+      agg.select(explode(array(
+          struct(lit("1_user_id_nonneg").as("chk"), col("uid").as("n_violations")),
+          struct(lit("2_event_type_enum").as("chk"), col("enm").as("n_violations")),
+          struct(lit("3_value_nonneg").as("chk"), col("vl").as("n_violations")),
+          struct(lit("4_ts_freshness").as("chk"), col("fr").as("n_violations")),
+          struct(lit("5_user_id_complete").as("chk"), col("nl").as("n_violations"))))
+          .as("c"), col("n"))
+        .select(col("c.chk").as("chk"), col("c.n_violations"),
+          col("n").as("n_rows"),
+          (col("c.n_violations") === 0).cast("long").as("pass"))
+        .orderBy("chk")
+    }
+
+  /** x242: streaming HLL distinct estimation — x237's registers built
+    * incrementally (the sketch whose entire reason to exist is exactly
+    * this placement: per-microbatch max-merge of (bucket, rho) pairs is
+    * all the state a billion-key distinct count needs — 64 rows). The
+    * drained registers are compared against the batch construction
+    * (drained ≡ batch at the REGISTER level, stronger than comparing
+    * estimates) and the estimator tail is shared code
+    * ([[graft.queries.Round15bQueries.hllReport]]), so x242 SHARES
+    * x237's oracle verbatim.
+    */
+  def streamingHll(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame =
+    withStreamPartitions(spark) {
+      spark.catalog.dropTempView(sinkName)
+      import graft.queries.Round15bQueries.{M, hllReport, hllRho}
+      val q = hllRho(
+          stagedEventsStream(spark, dir)
+            .select(col("user_id").cast("string").as("k")), "k")
+        .groupBy("b").agg(max(col("rho")).as("m"))
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val spine = spark.range(0, M).select(col("id").as("b"))
+      val regs = spine.join(
+          spark.table(sinkName).groupBy("b").agg(max(col("m")).as("m")),
+          Seq("b"), "left")
+        .select(col("b"), coalesce(col("m"), lit(0L)).as("m"))
+        .localCheckpoint()
+      val keys = graft.Tables.events(spark, dir)
+        .select(col("user_id").cast("string").as("k")).distinct()
+      val batchRegs = spine.join(
+          hllRho(keys, "k").groupBy("b").agg(max(col("rho")).as("m")),
+          Seq("b"), "left")
+        .select(col("b"), coalesce(col("m"), lit(0L)).as("m"))
+      val regDiff = regs.join(batchRegs, Seq("b", "m"), "left_anti").count() +
+        batchRegs.join(regs, Seq("b", "m"), "left_anti").count()
+      hllReport(spark, regs, keys.count(), regDiff)
+    }
+
   /** Streaming SCD2 point-in-time enrichment (x222) — the stream-static
     * production shape x118's dimension exists FOR: each arriving event is
     * enriched with the dimension row VALID AT ITS EVENT TIME (training-
@@ -1528,6 +1634,20 @@ object StreamingOps {
              |  FROM (SELECT user_id, event_id, epoch_us(ts) AS us
              |        FROM events) e) t
              |WHERE rn <= 3 ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
+      "x241_stream_contract",
+      (s, dir) => streamingContract(s, dir, "x241_stream_contract_sink"),
+      // x240's oracle VERBATIM: the drained incremental contract must
+      // equal the batch contract row for row.
+      Some(graft.queries.Round16Queries.dataContractSql)),
+
+    QueryDef(
+      "x242_stream_hll",
+      (s, dir) => streamingHll(s, dir, "x242_stream_hll_sink"),
+      // x237's oracle VERBATIM: drained registers == batch registers,
+      // so the whole certification row replays.
+      Some(graft.queries.Round15bQueries.hllCertifySql)),
 
     QueryDef(
       "x212_stream_mix_drift",

@@ -1,0 +1,29 @@
+package graft
+
+/** x241/x242: the streaming twins must drain to EXACTLY their batch
+  * siblings — same rows, not just same totals (the shared-oracle claim,
+  * asserted directly engine-side too).
+  */
+class StreamTwinSpec extends SparkSuite {
+
+  test("x241 streaming contract drains to the batch contract row for row") {
+    val stream = SparkEntry.queries("x241_stream_contract")(spark, sfDir)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val batch = SparkEntry.queries("x240_data_contract")(spark, sfDir)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(stream.toSeq == batch.toSeq,
+      "incremental contract diverged from the batch contract")
+  }
+
+  test("x242 streaming HLL drains to the batch registers (diff column 0)") {
+    val row = SparkEntry.queries("x242_stream_hll")(spark, sfDir)
+      .collect().head
+    // merge_reg_diff here counts drained-vs-batch register disagreements
+    // in BOTH directions — the register-level drained == batch proof.
+    assert(row.getLong(5) == 0, s"streaming registers diverged: $row")
+    val batch = SparkEntry.queries("x237_hll_certify")(spark, sfDir)
+      .collect().head
+    assert(row.toSeq == batch.toSeq,
+      "streaming HLL certification row diverged from batch")
+  }
+}
