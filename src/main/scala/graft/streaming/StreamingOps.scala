@@ -632,6 +632,45 @@ object StreamingOps {
       hllReport(spark, regs, keys.count(), regDiff)
     }
 
+  /** x244: streaming histogram quantiles — x243's 32-bucket per-type
+    * histogram built incrementally (the whole reason equi-width
+    * histograms run in monitoring stacks: per-microbatch vector-add of a
+    * fixed cell grid — types × 32 rows of state for percentiles over any
+    * volume). Bucket bounds come from the static per-type stats via a
+    * stream-static broadcast equi-join; the drained cells feed x243's
+    * shared estimate/certification tail, so x244 SHARES x243's oracle
+    * verbatim — drained histogram ≡ batch histogram at the cell level.
+    */
+  def streamingHistQuantiles(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame =
+    withStreamPartitions(spark) {
+      spark.catalog.dropTempView(sinkName)
+      import graft.queries.Round17Queries
+      val stats = Round17Queries.eventStats(spark, dir).localCheckpoint()
+      val q = stagedEventsStream(spark, dir)
+        .select(col("event_type"),
+          Round17Queries.vMicros(col("value")).as("v"))
+        .join(broadcast(stats), "event_type")
+        .select(col("event_type"),
+          expr(s"v * ${Round17Queries.Buckets} DIV (mx + 1)").as("b"))
+        .groupBy("event_type", "b").agg(count(lit(1)).as("cnt"))
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // localCheckpoint: quantileReport self-joins the hist (the cum
+      // prefix), and the memory sink's View hands both sides identical
+      // attribute ids (the x212 gotcha) — checkpointing mints fresh ones.
+      val hist = spark.table(sinkName).groupBy("event_type", "b")
+        .agg(max(col("cnt")).as("cnt"))
+        .localCheckpoint()
+      Round17Queries.quantileReport(hist, stats,
+        Round17Queries.exactQuantiles(spark, dir))
+    }
+
   /** Streaming SCD2 point-in-time enrichment (x222) — the stream-static
     * production shape x118's dimension exists FOR: each arriving event is
     * enriched with the dimension row VALID AT ITS EVENT TIME (training-
@@ -1634,6 +1673,13 @@ object StreamingOps {
              |  FROM (SELECT user_id, event_id, epoch_us(ts) AS us
              |        FROM events) e) t
              |WHERE rn <= 3 ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
+      "x244_stream_hist_quantiles",
+      (s, dir) => streamingHistQuantiles(s, dir, "x244_stream_hist_sink"),
+      // x243's oracle VERBATIM: drained cells == batch cells, so the
+      // whole certified quantile report replays.
+      Some(graft.queries.Round17Queries.histQuantilesSql)),
 
     QueryDef(
       "x241_stream_contract",
