@@ -30,12 +30,10 @@ object Round17Queries {
     */
   private[graft] def quantileReport(hist: DataFrame, stats: DataFrame,
       exact: DataFrame): DataFrame = {
-    val spineQ = Qs.map(q => s"($q)").mkString(", ")
     val ranks = stats.select(col("event_type"), col("n"), col("mx"),
         explode(array(Qs.map(lit): _*)).as("q"))
       .select(col("event_type"), col("q"), col("n"), col("mx"),
         expr("(q * n + 999) DIV 1000").as("r"))
-    require(spineQ.nonEmpty)
     // Cumulative counts via the bucket-spine self-join (32^2 per type,
     // corpus-independent); the target bucket is the min b whose
     // cumulative count reaches the rank.
