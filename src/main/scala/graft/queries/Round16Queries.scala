@@ -4,7 +4,6 @@ import graft.{QueryDef, Tables}
 import graft.operators.{TextAnalysis, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Round-16: vocabulary-budget planning, a cross-partitioning determinism
   * certificate, and declarative data contracts — the operational trio a
@@ -30,16 +29,14 @@ object Round16Queries {
     * the same rank becomes the x207 two-phase prefix sum — the shape is
     * unchanged, and no unpartitioned window exists at any size.
     */
-  private def vocabCoverageSweep(s: SparkSession, dir: String): DataFrame = {
-    val vocab = TextOps.tokens(Tables.documents(s, dir))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // 3 consumers: both rank-join sides + the total
-    val ranked = vocab.as("x").join(vocab.as("y"),
-        col("y.cnt") > col("x.cnt") ||
-          (col("y.cnt") === col("x.cnt") && col("y.w") < col("x.w")),
-        "left")
-      .groupBy(col("x.w").as("w"), col("x.cnt").as("cnt"))
-      .agg(count(col("y.w")).as("rank"))
+  /** The sweep tail over a ranked vocabulary — shared by x238 and its
+    * x246 two-phase-rank twin so the two can only differ in HOW the rank
+    * is computed (one definition, the r12 advice-#3 discipline).
+    * `ranked` must carry (w, cnt, rank) with rank = the 0-based count of
+    * strictly-greater rows in (cnt desc, w asc) order.
+    */
+  private[graft] def coverageSweepTail(s: SparkSession, vocab: DataFrame,
+      ranked: DataFrame): DataFrame = {
     val total = vocab.agg(sum(col("cnt")).as("tot"))
     import s.implicits._
     val spine = Seq(2L, 4L, 8L, 16L, 32L).toDF("v")
@@ -53,7 +50,20 @@ object Round16Queries {
       .orderBy("v")
   }
 
-  private val vocabCoverageSweepSql: String =
+  private def vocabCoverageSweep(s: SparkSession, dir: String): DataFrame = {
+    val vocab = TextOps.tokens(Tables.documents(s, dir))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // 3 consumers: both rank-join sides + the total
+    val ranked = vocab.as("x").join(vocab.as("y"),
+        col("y.cnt") > col("x.cnt") ||
+          (col("y.cnt") === col("x.cnt") && col("y.w") < col("x.w")),
+        "left")
+      .groupBy(col("x.w").as("w"), col("x.cnt").as("cnt"))
+      .agg(count(col("y.w")).as("rank"))
+    coverageSweepTail(s, vocab, ranked)
+  }
+
+  private[graft] val vocabCoverageSweepSql: String =
     s"""WITH toks AS (${TextOps.tokensSql}),
        | vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
        | ranked AS (
@@ -80,7 +90,11 @@ object Round16Queries {
     * (hash-32 on doc_id vs hash-7 on source — different aggregation
     * groupings, different partial-agg orders), each output reduced to an
     * order-free fingerprint (DECIMAL(38) sum of per-row 60-bit hashes —
-    * exact at any corpus size, never overflow), and BOTH fingerprints
+    * exact at any corpus size, never overflow — emitted mod 2⁶³ as a
+    * BIGINT, the x192 idiom: §7.4 says unbounded rationals leave the
+    * plan as scaled integers, and the r12 verdict proved why — the
+    * driver's pandas gate coerces a DuckDB DECIMAL(38,0) to float64
+    * while Spark's parquet side stays exact), and BOTH fingerprints
     * emitted. The oracle computes the canonical fingerprint once, so the
     * hash gate simultaneously proves Spark ≡ Spark across partitionings
     * and Spark ≡ DuckDB across engines. A pipeline whose outputs moved
@@ -95,7 +109,8 @@ object Round16Queries {
           col("n_tokens").cast("string"), col("quality").cast("string")))
           .as("h"))
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("h").cast(DecimalType(38, 0))).as("hash_sum"))
+          expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 9223372036854775808" +
+            " AS BIGINT)").as("hash_sum"))
         .select(lit(tag).as("variant"), col("n_rows"), col("hash_sum"))
     val docs = Tables.documents(s, dir)
     fingerprint("p32", docs.repartition(32, col("doc_id")))
@@ -106,11 +121,12 @@ object Round16Queries {
   private val repartitionInvarianceSql: String =
     s"""WITH q AS (${TextAnalysis.qualityScoreSql}),
        | f AS (SELECT count(*) AS n_rows,
-       |              sum(CAST(CAST('0x' || substr(md5(
+       |              CAST(CAST(sum(CAST('0x' || substr(md5(
        |                CAST(doc_id AS VARCHAR) || chr(1) ||
        |                CAST(n_tokens AS VARCHAR) || chr(1) ||
-       |                CAST(quality AS VARCHAR)), 1, 15) AS BIGINT)
-       |                AS DECIMAL(38, 0))) AS hash_sum
+       |                CAST(quality AS VARCHAR)), 1, 15) AS BIGINT))
+       |                AS HUGEINT) % 9223372036854775808 AS BIGINT)
+       |                AS hash_sum
        |       FROM q)
        |SELECT variant, CAST(n_rows AS BIGINT) AS n_rows, hash_sum FROM (
        |  SELECT 'p07' AS variant, n_rows, hash_sum FROM f

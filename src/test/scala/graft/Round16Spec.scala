@@ -23,9 +23,10 @@ class Round16Spec extends SparkSuite {
   }
 
   test("x239 certificate: both partitionings produce the identical fingerprint") {
+    // hash_sum is BIGINT since r13 (mod-2⁶³, the x192 idiom — §7.4: the
+    // raw DECIMAL(38,0) emission failed the driver's pandas gate in r12).
     val rows = SparkEntry.queries("x239_repartition_invariance")(spark, sfDir)
-      .collect().map(r => (r.getString(0), r.getLong(1),
-        r.getDecimal(2).toBigInteger))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(rows.map(_._1).sorted.toSeq == Seq("p07", "p32"))
     assert(rows.map(_._2).distinct.length == 1, s"row counts diverged: $rows")
     assert(rows.map(_._3).distinct.length == 1,

@@ -13,31 +13,50 @@ import math
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def canon_value(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
+    # PANDAS-faithful canonicalization (r12 verdict #2): the driver's gate
+    # reads the DuckDB oracle via .df() and the Spark parquet via pandas,
+    # so values must be canonicalized AFTER that coercion — r12's x239
+    # passed a fetchall()-based tri-scale sweep (Decimals stay exact in
+    # fetchall) and then failed the driver, whose pandas path coerces a
+    # DuckDB DECIMAL(38,0) to float64 while the Spark parquet side stays
+    # exact. fetchall() must never be the row source here again.
+    if isinstance(v, float):  # covers numpy float64 (a float subclass)
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        return repr(round(float(v), 9))
+    try:
+        if v is None or pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass  # arrays etc. — the nested-type check rejects these earlier
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
         return "[" + ",".join(canon_value(x) for x in v) + "]"
+    import datetime
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        # DuckDB .df() renders DATE as datetime64 midnight; pyarrow keeps
+        # datetime.date objects. Both driver-green (x32/x150 pass the
+        # driver's gate), so normalize the two renderings of the same day
+        # — WITHOUT touching the decimal/float asymmetry above, which the
+        # driver does NOT normalize.
+        return f"{v} 00:00:00"
     return str(v)
 
 
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(df):
+    cols = sorted(df.columns)
     out = []
-    for r in rows:
-        out.append("\x01".join(canon_value(r[i]) for i in order))
-    return [cols[i] for i in order], out
+    for r in df[cols].itertuples(index=False, name=None):
+        out.append("\x01".join(canon_value(v) for v in r))
+    return cols, out
 
 
 def main():
@@ -53,19 +72,22 @@ def main():
     for name in sorted(oracle):
         sql = oracle[name]
         try:
-            res = con.execute(sql)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # .df(): the driver's pandas coercion — NOT fetchall (see
+            # canon_value).
+            odf = con.execute(sql).df()
+            ocols = list(odf.columns)
             otypes = dict(r[:2] for r in con.execute(f"DESCRIBE {sql}").fetchall())
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         try:
+            # pandas/pyarrow read — the driver's Spark-side path (decimal
+            # columns arrive as exact Decimal objects, NOT float64: the
+            # very asymmetry this mirror exists to reproduce).
+            sdf = pd.read_parquet(f"{outdir}/{name}")
+            scols = list(sdf.columns)
             ssql = f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
-            sres = con.execute(ssql)
-            scols = [d[0] for d in sres.description]
-            srows = sres.fetchall()
             stypes = dict(r[:2] for r in con.execute(f"DESCRIBE {ssql}").fetchall())
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
@@ -107,8 +129,8 @@ def main():
                   f"driver's pandas gate cannot sort these; stringify them")
             n_fail += 1
             continue
-        oc, orws = canon(ocols, orows)
-        sc, srws = canon(scols, srows)
+        oc, orws = canon(odf)
+        sc, srws = canon(sdf)
         if oc != sc:
             print(f"FAIL {name}: schema mismatch duckdb={oc} spark={sc}")
             n_fail += 1
