@@ -36,7 +36,7 @@ object Bench {
       // the graph queries (r11 verdict #4 — per-run infrastructure, like a
       // persisted edge table in production); sweeping it would force each
       // graph query to re-derive it, which is exactly the waste it removes.
-      val keep = graft.operators.CoPurchaseGraph.sharedRddIds
+      val keep = graft.operators.CoPurchaseGraph.sharedRddIds(spark)
       spark.sparkContext.getPersistentRDDs.values
         .filterNot(r => keep(r.id)).foreach(_.unpersist(false))
       dt
@@ -163,6 +163,17 @@ object Bench {
         System.gc()
         spark = Sessions.local(cpus)
         toIsolate.map { case (n, _, adjudicating) =>
+          // Same protocol as the in-suite column: one UNTIMED warmup run,
+          // then min-of-2 timed. r12's driver record read x137 at 17.7 s
+          // isolated vs 6.3 in-suite (2.8x, above the 1.5x bar) because
+          // the isolated column skipped the warmup the in-suite column
+          // got — the first fresh-session run pays one-time costs (file
+          // listing, this query's private two-snapshot derivation priming
+          // the page/broadcast caches) that the suite's warmup pass had
+          // absorbed before any in-suite number was taken (r12 verdict
+          // #3). The columns must measure the same thing to adjudicate
+          // co-tenancy.
+          run(n)
           (n, math.min(run(n), run(n)), adjudicating)
         }
       }
@@ -170,9 +181,13 @@ object Bench {
     // isolated number materially above in-suite means the fresh-session
     // reset failed to remove the co-tenancy — surface it loudly (stderr,
     // not a crash: the full-suite record must still land for the round).
+    // Guard: both numbers must be SUCCESSES — a query that failed in-suite
+    // (-1.0, e.g. pinned x137 under a broken build) but succeeds isolated
+    // would make the comparison trivially true and print a nonsense
+    // warning (r12 advice #2).
     isolated.foreach { case (n, iso, _) =>
       val suite = results.toMap.getOrElse(n, iso)
-      if (iso > 1.5 * suite && iso - suite > 1.0)
+      if (suite >= 0 && iso >= 0 && iso > 1.5 * suite && iso - suite > 1.0)
         System.err.println(f"[bench] WARNING isolated inversion: $n " +
           f"isolated $iso%.1fs > 1.5x in-suite $suite%.1fs")
     }

@@ -46,15 +46,27 @@ object CoPurchaseGraph {
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private val shared =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  // Backing RDD id per cache key (key already embeds the applicationId).
+  // Keyed — not a grow-only id set — because RDD ids restart from 0 in a
+  // fresh SparkContext (Bench's isolated-adjudication phase creates one):
+  // a stale id from a dead context would otherwise collide with an
+  // unrelated localCheckpoint RDD in the new context and exempt it from
+  // Bench's per-query sweep (r12 advice #1). Replacing a dead entry in
+  // [[pairWeights]] overwrites its id here, so nothing stale survives.
+  private val sharedByKey =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]()
 
-  /** RDD ids backing live shared tables — Bench's per-query sweep must
-    * not unpersist these (the whole point is cross-query reuse).
+  /** RDD ids backing live shared tables OF THIS SESSION's context —
+    * Bench's per-query sweep must not unpersist these (the whole point
+    * is cross-query reuse). Scoped to the session's applicationId so a
+    * fresh context never inherits exemptions from a dead one.
     */
-  def sharedRddIds: Set[Int] = {
+  def sharedRddIds(s: SparkSession): Set[Int] = {
     import scala.jdk.CollectionConverters._
-    shared.asScala.toSet
+    val prefix = s.sparkContext.applicationId + "|"
+    sharedByKey.asScala.collect {
+      case (k, id) if k.startsWith(prefix) => id
+    }.toSet
   }
 
   private def backingRdd(df: DataFrame) =
@@ -86,7 +98,7 @@ object CoPurchaseGraph {
         .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
         .agg(count(lit(1)).as("w"))
         .localCheckpoint()
-      backingRdd(pw).foreach(r => shared.add(r.id))
+      backingRdd(pw).foreach(r => sharedByKey.put(k, r.id))
       cache.put(k, pw)
       pw
     }

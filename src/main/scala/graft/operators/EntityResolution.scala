@@ -73,8 +73,22 @@ object EntityResolution {
       .crossJoin(broadcast(off))
       .select(
         (col("c_custkey") + col("off")).as("did"),
+        // Ghost names MUST stay inside the 9-digit pad (r12 advice #4):
+        // lpad TRUNCATES past 9 digits (did ≳ 5·10⁸, very large SF), and a
+        // truncated ghost name could equal a real customer's — breaking
+        // the structural guarantee x221's band design and x229's admission
+        // guard both lean on (a ghost name is never exactly equal to a
+        // real name). Widening the pad instead would CHANGE the fixture
+        // (21-char ghosts sit at lev ≥ 3 from every real name, pushing the
+        // designed lev-1 false-positive class out of the match/review
+        // bands), so the right rendering is fail-loud-at-the-boundary: the
+        // guard never fires at any in-range SF and raises before either
+        // engine's truncation semantics could diverge.
         concat(lit("Customer#"),
-          lpad((col("c_custkey") + col("off")).cast("string"), 9, "0"))
+          when(col("c_custkey") + col("off") <= 999999999L,
+            lpad((col("c_custkey") + col("off")).cast("string"), 9, "0"))
+            .otherwise(raise_error(lit("ghost did exceeds the 9-digit pad" +
+              " — rethink the ghost fixture before lpad truncates"))))
           .as("dname"),
         ((col("c_nationkey") + 3) % 25).as("dnation"),
         col("c_mktsegment").as("dseg"))

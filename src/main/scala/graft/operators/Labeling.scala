@@ -27,8 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object Labeling {
 
-  private val MaxProbeId = 8L
-  private val K = 10
+  // ONE definition with the ANN recall certification (r12 advice #3):
+  // x230 composes this module's vote tail onto Similarity's banded
+  // candidates, and its oracle SQL is generated from RecallCert — four
+  // independently-editable constants that merely agreed would let an
+  // edit to either pair silently desynchronize the engine from its
+  // oracle until the hash gate failed at bench time.
+  private val MaxProbeId = Similarity.RecallCert.probeSet
+  private val K = Similarity.RecallCert.k
 
   private def toDouble(c: Column): Column =
     transform(c, (x: Column) => x.cast("double"))
