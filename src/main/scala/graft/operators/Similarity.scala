@@ -443,6 +443,79 @@ object Similarity {
       .orderBy("qid", "radius")
   }
 
+  /** The mutual-best-match tail shared by x235 (cross-product scored
+    * input) and x245 (banded-ANN-candidate scored input): per en doc the
+    * argmax fr (round-6 cosine, id tiebreak), per fr doc the argmax en,
+    * kept only where both agree. ONE definition so the twins cannot
+    * drift apart (the r12 advice-#3 discipline). Input schema:
+    * (en_id, fr_id, cos).
+    */
+  private[graft] def mutualBestPairs(scored: DataFrame): DataFrame = {
+    val wEn = org.apache.spark.sql.expressions.Window
+      .partitionBy("en_id").orderBy(desc("cos"), asc("fr_id"))
+    val wFr = org.apache.spark.sql.expressions.Window
+      .partitionBy("fr_id").orderBy(desc("cos"), asc("en_id"))
+    val fwd = scored.withColumn("rn", row_number().over(wEn))
+      .filter(col("rn") === 1).select("en_id", "fr_id", "cos")
+    val bwd = scored.withColumn("rn", row_number().over(wFr))
+      .filter(col("rn") === 1).select("en_id", "fr_id")
+    fwd.join(bwd, Seq("en_id", "fr_id"), "left_semi")
+      .orderBy("en_id")
+  }
+
+  /** x245's scored input: en×fr pairs admitted by the x185 radius-2
+    * escalated banded-LSH candidates (RecallCert's constants verbatim —
+    * the x230 composition) instead of the cross product, each scored
+    * with the same round-6 cosine as x235. A pair is admitted iff SOME
+    * band of the two signatures is within hamming ≤ 2 — one banded-index
+    * pass over the two language blocks, the smaller block's probe fanout
+    * (11 masks per band at bandBits = 4) broadcast, and ONE bucket
+    * equi-join; the score matrix is never materialized for non-candidate
+    * pairs.
+    *
+    * Honesty about THIS fixture: its embeddings are near-uniform (the
+    * x185 finding), so radius 2 admits ~99 % of the cross product here —
+    * measured, and pinned by the spec as strictly sub-cross-product
+    * together with the agreement claim. That is a DATA property, not a
+    * plan property: on real bitext embeddings (parallel pairs at
+    * cos ≈ 1, the rest near-orthogonal — the clustered regime LSH is
+    * built for) the identical plan admits a small fraction at radius ≤ 1
+    * while mutual-best pairs, which are exactly the high-cosine pairs,
+    * stay inside the candidate set. Radius 2 is the smallest radius
+    * whose mutual set equals x235's at all three SFs (measured r=0/1
+    * disagree — the escalation rule is x185's: escalate until the floor
+    * holds on the probe fixture, ship that radius).
+    */
+  private[graft] def bitextAnnScored(spark: SparkSession, docs: DataFrame,
+      emb: DataFrame): DataFrame = {
+    import RecallCert.{planes, bands, bandBits}
+    graft.functions.GraftFunctions.register(spark)
+    val banded = bandedSigs(hyperplaneSigs(spark, emb, planes), planes, bands)
+    def side(lang: String): DataFrame = banded.join(
+      docs.filter(col("lang") === lang).select(col("doc_id").as("vec_id")),
+      "vec_id")
+    val en = side("en").select(col("vec_id").as("en_id"), col("band"),
+      col("bv"), col("e").as("ev"))
+    val masks = (0 until (1 << bandBits)).filter(m => Integer.bitCount(m) <= 2)
+    val frProbes = side("fr").select(col("vec_id").as("fr_id"), col("band"),
+      explode(array(masks.map(m => col("bv").bitwiseXOR(lit(m))): _*))
+        .as("bv"),
+      col("e").as("fv"))
+    en.join(broadcast(frProbes), Seq("band", "bv"))
+      .groupBy("en_id", "fr_id")
+      .agg(round(cosine(first(col("ev")), first(col("fv"))), 6).as("cos"))
+  }
+
+  /** x245: ANN-candidate bitext mining — x235's mutual-best tail over
+    * [[bitextAnnScored]]'s banded candidates (r12 verdict #4, the
+    * promised scale twin). Shares x235's oracle VERBATIM: the hash gate
+    * proves the candidate-restricted mutual set equals the cross-product
+    * one on this fixture at every SF.
+    */
+  def bitextMineAnn(spark: SparkSession, docs: DataFrame,
+      emb: DataFrame): DataFrame =
+    mutualBestPairs(bitextAnnScored(spark, docs, emb))
+
   /** IVF (inverted-file) ANN: a deterministic k-means coarse quantizer
     * partitions vectors into `nlist` cells; a query probes only the
     * `nprobe` nearest cells and re-ranks exactly within them.

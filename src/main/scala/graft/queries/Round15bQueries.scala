@@ -3,7 +3,6 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.operators.Dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-15b: corpus-mining and sketch-completion operators — parallel
@@ -50,17 +49,11 @@ object Round15bQueries {
       .select(col("en_id"), col("fr_id"),
         round(call_function("graft_cosine", col("ev"), col("fv")), 6)
           .as("cos"))
-    val wEn = Window.partitionBy("en_id").orderBy(desc("cos"), asc("fr_id"))
-    val wFr = Window.partitionBy("fr_id").orderBy(desc("cos"), asc("en_id"))
-    val fwd = scored.withColumn("rn", row_number().over(wEn))
-      .filter(col("rn") === 1).select("en_id", "fr_id", "cos")
-    val bwd = scored.withColumn("rn", row_number().over(wFr))
-      .filter(col("rn") === 1).select("en_id", "fr_id")
-    fwd.join(bwd, Seq("en_id", "fr_id"), "left_semi")
-      .orderBy("en_id")
+    // Tail shared with x245's ANN-candidate twin (one definition).
+    graft.operators.Similarity.mutualBestPairs(scored)
   }
 
-  private val bitextMineSql: String =
+  private[graft] val bitextMineSql: String =
     """WITH en AS (
       |   SELECT d.doc_id AS en_id, CAST(e.embedding AS DOUBLE[]) AS ev
       |   FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
