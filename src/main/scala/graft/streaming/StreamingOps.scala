@@ -1992,6 +1992,122 @@ object StreamingOps {
       }
     }
 
+  // ---- x119's crash-atomic generation swap (r12 verdict #6) --------------
+
+  /** Durable MV pointer: `_CURRENT` holds "(last applied batchId, current
+    * generation path)". (-1, None) before the first swap.
+    */
+  private[graft] def readMvPointer(stateDir: String)
+      : (Long, Option[String]) = {
+    val p = java.nio.file.Paths.get(stateDir, "_CURRENT")
+    if (!java.nio.file.Files.exists(p)) (-1L, None)
+    else {
+      val ls = java.nio.file.Files.readAllLines(p)
+      (ls.get(0).toLong, Some(ls.get(1)))
+    }
+  }
+
+  /** Atomic pointer swap: write-temp + ATOMIC_MOVE rename — readers see
+    * the old pointer or the new one, never a torn write.
+    */
+  private def swapMvPointer(stateDir: String, id: Long, path: String)
+      : Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(stateDir, s"_CURRENT.tmp$id")
+    Files.write(tmp, s"$id\n$path\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(stateDir, "_CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The current MV contents per the durable pointer (empty result before
+    * any batch applied). Schema: (user_id, event_type, n, s).
+    */
+  def mvCurrent(spark: SparkSession, stateDir: String): DataFrame =
+    readMvPointer(stateDir) match {
+      case (_, Some(p)) => spark.read.parquet(p)
+      case _ => sys.error(s"no MV generation published under $stateDir")
+    }
+
+  /** x119's foreachBatch generation-swap MV as a CHECKPOINTED production
+    * leg with a durable pointer and batchId idempotence — the recovery
+    * proof the r12 verdict asked for (#6; engine-managed state and custom
+    * flatMapGroupsWithState state are covered by StreamRecoverySpec /
+    * QuotaRecoverySpec, this is the third state class: state OUTSIDE the
+    * state store, in a parquet-backed table).
+    *
+    * Each microbatch: if the pointer already records this batchId (a
+    * REPLAY after a crash that landed between the swap and the checkpoint
+    * commit), skip — the idempotence a Delta/Iceberg MERGE gets from
+    * recording the batchId in its txn log. Otherwise merge the batch's
+    * partial aggregate with the pointer's generation, write generation
+    * v<batchId>, then atomically swap the pointer. The two crash windows:
+    *
+    *  (a) after the generation write, before the swap — the pointer still
+    *      names the old generation and the batch is uncommitted, so the
+    *      restart REPLAYS it against the OLD generation (the orphaned
+    *      half-published v<id> dir is dead weight, overwritten by the
+    *      replay, never read) — nothing double-applies;
+    *  (b) after the swap, before the checkpoint commit — the replayed
+    *      batch sees pointer.batchId >= its id and SKIPS — nothing
+    *      double-applies.
+    *
+    * `failAtBatch` + `failAfterSwap` inject a crash into window (a)
+    * (failAfterSwap = false) or (b) (true); MvRecoverySpec kills a leg in
+    * each window and proves drained ≡ batch aggregate row for row.
+    */
+  def mvLeg(spark: SparkSession, srcDir: String, ckptDir: String,
+      stateDir: String, failAtBatch: Option[Long],
+      failAfterSwap: Boolean): Unit =
+    withStreamPartitions(spark) {
+      val q = spark.readStream.schema(eventsFileSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .select(col("user_id"), col("event_type"), col("value"))
+        .writeStream
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              id: Long) =>
+            val (lastId, cur) = readMvPointer(stateDir)
+            if (id > lastId) {
+              val delta = batch.groupBy("user_id", "event_type")
+                .agg(count(lit(1)).as("n"),
+                  sum(col("value").cast("decimal(18,6)"))
+                    .cast("decimal(18,6)").as("s"))
+              val merged = cur match {
+                case None => delta
+                case Some(p) => spark.read.parquet(p).unionByName(delta)
+                  .groupBy("user_id", "event_type")
+                  .agg(sum(col("n")).as("n"),
+                    sum(col("s")).cast("decimal(18,6)").as("s"))
+              }
+              val next = s"$stateDir/v$id"
+              merged.write.mode("overwrite").parquet(next)
+              if (failAtBatch.contains(id) && !failAfterSwap)
+                throw new RuntimeException(
+                  s"injected crash after generation write at batch $id")
+              swapMvPointer(stateDir, id, next)
+              if (failAtBatch.contains(id) && failAfterSwap)
+                throw new RuntimeException(
+                  s"injected crash after pointer swap at batch $id")
+            }
+            ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if failAtBatch.isDefined &&
+              Iterator.iterate(e: Throwable)(_.getCause)
+                .takeWhile(_ != null).take(10)
+                .exists(t => String.valueOf(t.getMessage)
+                  .contains("injected crash")) =>
+          () // the leg was SUPPOSED to die here
+      }
+    }
+
   def streamingSessionize(spark: SparkSession, dir: String,
       sinkName: String): DataFrame = withStreamPartitions(spark) {
     spark.catalog.dropTempView(sinkName)
