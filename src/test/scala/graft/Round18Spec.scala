@@ -64,4 +64,44 @@ class Round18Spec extends SparkSuite {
       .collect().map(_.toSeq).toSeq
     assert(a == b, "x246's sweep output differs from x238's")
   }
+
+  test("x247: manifest gate non-vacuous, clean sources pass untouched, diff conserves the corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = SparkEntry.queries("x247_manifest_pruned_diff")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val allSrcs = docs.select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    val cleanSrcs = docs.select(col("source")).distinct()
+      .filter(!graft.queries.Round18Queries.movedClass(col("source")))
+      .collect().map(_.getString(0)).toSet
+    // Both manifest branches must be live — x199's graft touches every
+    // source (measured), which is why x247 needed its own split.
+    assert(cleanSrcs.nonEmpty && cleanSrcs.size < allSrcs.size,
+      s"degenerate source split: ${cleanSrcs.size}/${allSrcs.size} clean")
+    assert(rows.map(_._1).toSet == allSrcs,
+      "the report must cover every source, pruned or not")
+    rows.filter(r => cleanSrcs(r._1)).foreach { r =>
+      assert(r._2 == 0 && r._3 == 0 && r._4 == 0 && r._5 > 0,
+        s"clean-class source reported activity (manifest gate leaked): $r")
+    }
+    assert(rows.exists(r => r._2 + r._3 + r._4 > 0),
+      "no source reported any activity — the graft is vacuous")
+    // Conservation: every OLD doc is exactly one of unchanged/changed/
+    // removed, and every addition is one grafted re-key.
+    val nDocs = docs.count()
+    assert(rows.map(r => r._3 + r._4 + r._5).sum == nDocs,
+      "removed + changed + unchanged must partition the old snapshot")
+    val expectedAdds = docs.filter(
+      graft.queries.Round18Queries.movedClass(col("source")) &&
+        col("doc_id") % 17 === 2).count()
+    assert(rows.map(_._2).sum == expectedAdds,
+      "added total differs from the grafted re-key count")
+    // The prune is worth having: the diff join's input is bounded by the
+    // moved sources' rows, a strict subset of the corpus.
+    val movedDocs = docs.filter(
+      graft.queries.Round18Queries.movedClass(col("source"))).count()
+    assert(movedDocs < nDocs,
+      "manifest prune admits the whole corpus — nothing was skipped")
+  }
 }
