@@ -490,20 +490,37 @@ object Similarity {
       emb: DataFrame): DataFrame = {
     import RecallCert.{planes, bands, bandBits}
     graft.functions.GraftFunctions.register(spark)
-    val banded = bandedSigs(hyperplaneSigs(spark, emb, planes), planes, bands)
-    def side(lang: String): DataFrame = banded.join(
-      docs.filter(col("lang") === lang).select(col("doc_id").as("vec_id")),
-      "vec_id")
-    val en = side("en").select(col("vec_id").as("en_id"), col("band"),
-      col("bv"), col("e").as("ev"))
+    // One signature pass over the two language blocks, materialized — the
+    // production rendering is a stored signature index (the x81 story).
+    val sigs = hyperplaneSigs(spark, emb, planes)
+      .join(docs.filter(col("lang").isin("en", "fr"))
+        .select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+      .localCheckpoint() // 4 consumers: both banded sides + both vector sides
+    def side(lang: String): DataFrame = sigs.filter(col("lang") === lang)
+    // Candidates are deduped as BARE ID PAIRS before any vector travels:
+    // the bucket join fans each pair out once per matching (band, mask),
+    // and carrying the two 64-double arrays through that fanout into the
+    // dedup was the whole query's cost (measured 4.3 s at sf0.1; the
+    // id-pair dedup + vector join-back shape shuffles 16-byte rows
+    // instead of KB rows through the wide step).
+    val enB = bandedSigs(side("en"), planes, bands)
+      .select(col("vec_id").as("en_id"), col("band"), col("bv"))
     val masks = (0 until (1 << bandBits)).filter(m => Integer.bitCount(m) <= 2)
-    val frProbes = side("fr").select(col("vec_id").as("fr_id"), col("band"),
-      explode(array(masks.map(m => col("bv").bitwiseXOR(lit(m))): _*))
-        .as("bv"),
-      col("e").as("fv"))
-    en.join(broadcast(frProbes), Seq("band", "bv"))
-      .groupBy("en_id", "fr_id")
-      .agg(round(cosine(first(col("ev")), first(col("fv"))), 6).as("cos"))
+    val frB = bandedSigs(side("fr"), planes, bands)
+      .select(col("vec_id").as("fr_id"), col("band"),
+        explode(array(masks.map(m => col("bv").bitwiseXOR(lit(m))): _*))
+          .as("bv"))
+    val cand = enB.join(broadcast(frB), Seq("band", "bv"))
+      .select("en_id", "fr_id").distinct()
+    // Vectors rejoin once per surviving pair: the en side co-partitions on
+    // en_id (corpus-scale safe — a plain equi-join), the smaller language
+    // block broadcasts (x235's framing).
+    cand.join(side("en").select(col("vec_id").as("en_id"),
+        col("e").as("ev")), "en_id")
+      .join(broadcast(side("fr").select(col("vec_id").as("fr_id"),
+        col("e").as("fv"))), "fr_id")
+      .select(col("en_id"), col("fr_id"),
+        round(cosine(col("ev"), col("fv")), 6).as("cos"))
   }
 
   /** x245: ANN-candidate bitext mining — x235's mutual-best tail over
