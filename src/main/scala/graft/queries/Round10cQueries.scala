@@ -30,9 +30,16 @@ object Round10cQueries {
     * a |sources|-row result. Exactness: the sum rides DECIMAL(38,0)
     * (order-exact) and is emitted mod 2⁶³ as an integer (§7.4).
     */
-  private def contentManifest(s: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables.documents(s, dir)
-    val h = conv(substring(md5(concat_ws("",
+  /** The manifest aggregate shared by x192 (batch) and x248 (its
+    * streaming twin) — ONE definition of the row hash and the three
+    * commutative fingerprint aggregates, so the twins cannot drift
+    * (the r12 advice-#3 discipline). Works on a batch OR streaming
+    * documents frame: every aggregate here is map-side/microbatch
+    * mergeable, which is exactly what makes the manifest maintainable
+    * incrementally.
+    */
+  private[graft] def manifestAgg(docs: DataFrame): DataFrame = {
+    val h = conv(substring(md5(concat_ws("\u0001",
         col("doc_id").cast("string"), col("text"), col("lang"),
         col("source"), col("n_chars").cast("string")).cast("binary")),
       1, 15), 16, 10).cast("long")
@@ -43,10 +50,12 @@ object Round10cQueries {
         expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 9223372036854775808 AS BIGINT)")
           .as("fp_sum"),
         sum(col("n_chars")).as("chars"))
-      .orderBy("source")
   }
 
-  private val contentManifestSql: String =
+  private def contentManifest(s: SparkSession, dir: String): DataFrame =
+    manifestAgg(graft.Tables.documents(s, dir)).orderBy("source")
+
+  private[graft] val contentManifestSql: String =
     """WITH h AS (SELECT source, n_chars,
       |  CAST('0x' || substr(md5(concat_ws(chr(1),
       |         CAST(doc_id AS VARCHAR), text, lang, source,

@@ -632,6 +632,49 @@ object StreamingOps {
       hllReport(spark, regs, keys.count(), regDiff)
     }
 
+  /** x248: streaming manifest maintenance — x192's per-source content
+    * manifest built INCREMENTALLY, the production placement x247's
+    * Scaladoc names ("manifests maintained incrementally per x192, not
+    * recomputed"): as documents land, one update-mode aggregate keeps
+    * (n, fp_xor, fp_sum, chars) per source — |sources| rows of state for
+    * a corpus of any size, because every manifest component is a
+    * commutative mergeable aggregate (that property is WHY x192 chose
+    * them). Aggregate definition shared with x192
+    * ([[graft.queries.Round10cQueries.manifestAgg]]) and the oracle
+    * shared verbatim, so the drained manifest is hash-certified equal to
+    * the batch one.
+    *
+    * Finalize: per source the LAST emitted version. `n` strictly
+    * increases with every update (an update only fires when new rows
+    * landed), so max(struct(n, ...)) selects it — the x198
+    * version-stamp idiom. The x242 max-over-versions shortcut would be
+    * WRONG here: fp_xor is not monotone across versions (xor
+    * fluctuates), which is exactly why the finalize keys on the
+    * monotone count and carries the fingerprints along.
+    */
+  def streamingManifest(spark: SparkSession, dir: String,
+      sinkName: String): DataFrame =
+    withStreamPartitions(spark) {
+      spark.catalog.dropTempView(sinkName)
+      val q = graft.queries.Round10cQueries
+        .manifestAgg(stagedDocsStream(spark, dir))
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory")
+        .queryName(sinkName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(sinkName)
+        .groupBy("source")
+        .agg(max(struct(col("n"), col("fp_xor"), col("fp_sum"),
+          col("chars"))).as("v"))
+        .select(col("source"), col("v.n").as("n"),
+          col("v.fp_xor").as("fp_xor"), col("v.fp_sum").as("fp_sum"),
+          col("v.chars").as("chars"))
+        .orderBy("source")
+    }
+
   /** x244: streaming histogram quantiles — x243's 32-bucket per-type
     * histogram built incrementally (the whole reason equi-width
     * histograms run in monitoring stacks: per-microbatch vector-add of a
@@ -1694,6 +1737,13 @@ object StreamingOps {
       // x237's oracle VERBATIM: drained registers == batch registers,
       // so the whole certification row replays.
       Some(graft.queries.Round15bQueries.hllCertifySql)),
+
+    QueryDef(
+      "x248_stream_manifest",
+      (s, dir) => streamingManifest(s, dir, "x248_stream_manifest_sink"),
+      // x192's oracle VERBATIM: the incrementally-maintained manifest
+      // must equal the batch manifest row for row.
+      Some(graft.queries.Round10cQueries.contentManifestSql)),
 
     QueryDef(
       "x212_stream_mix_drift",

@@ -26,4 +26,23 @@ class StreamTwinSpec extends SparkSuite {
     assert(row.toSeq == batch.toSeq,
       "streaming HLL certification row diverged from batch")
   }
+
+  test("x248 streaming manifest drains to the batch manifest row for row") {
+    val stream = SparkEntry.queries("x248_stream_manifest")(spark, sfDir)
+      .collect().map(_.toSeq)
+    val batch = SparkEntry.queries("x192_content_manifest")(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(stream.nonEmpty, "drained manifest is empty")
+    assert(stream.toSeq == batch.toSeq,
+      "incrementally-maintained manifest diverged from the batch manifest")
+    // The finalize must have had real version churn to resolve: the
+    // update-mode sink holds MORE versions than sources (the staged
+    // stream drains in 4 microbatches, so sources emit multiple
+    // versions and the non-monotone fp_xor genuinely fluctuates —
+    // otherwise this test would pass vacuously on a 1-batch drain).
+    val versions = spark.table("x248_stream_manifest_sink").count()
+    assert(versions > stream.length,
+      s"only $versions sink versions for ${stream.length} sources — " +
+        "the drain was not incremental")
+  }
 }
