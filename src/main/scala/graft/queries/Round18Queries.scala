@@ -231,11 +231,70 @@ object Round18Queries {
       |         AS unchanged
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- x249: per-source data card ----------------------------------------
+
+  /** x249: the DATA CARD — the per-source summary artifact a dataset
+    * ships with (Gebru et al. 2021, "Datasheets for Datasets"; every
+    * public-corpus release carries one): per source the doc count, total
+    * chars and tokens, distinct languages, exact-duplicate doc count
+    * (docs whose md5(text) appears ≥2 anywhere in the CORPUS — dup
+    * pressure is a cross-source property, a source copying another shows
+    * up in both cards), and the mean quality score (integer DIV, §7.4).
+    * Composes three already-certified signals — x08's quality table,
+    * x01's fingerprint dup rule, the raw dims — into the one governance
+    * row per source that data-acquisition reviews actually read.
+    *
+    * Scale: the quality table is x08's one corpus pass; the dup flag is
+    * a fingerprint hash-aggregate + a semi-join of the (small) duplicated
+    * fingerprint set back to the corpus; everything after is per-source
+    * hash aggregates (count_distinct(lang) is languages-bounded). No
+    * windows, no driver state.
+    */
+  private def dataCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val q = graft.operators.TextAnalysis.qualityScore(docs)
+      .select("doc_id", "n_tokens", "quality")
+    val dupFps = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select("fp")
+    val flagged = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(dupFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+    docs.select("doc_id", "source", "lang", "n_chars")
+      .join(q, "doc_id")
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("chars"),
+        sum("n_tokens").as("tokens"),
+        countDistinct("lang").as("n_langs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("dup_docs"),
+        expr("sum(quality) DIV count(1)").as("mean_quality"))
+      .orderBy("source")
+  }
+
+  private val dataCardSql: String =
+    s"""WITH q AS (${graft.operators.TextAnalysis.qualityScoreSql}),
+       | dupfp AS (SELECT md5(text) AS fp FROM documents
+       |           GROUP BY 1 HAVING count(*) > 1),
+       | d AS (SELECT doc_id, source, lang, n_chars,
+       |              CASE WHEN md5(text) IN (SELECT fp FROM dupfp)
+       |                   THEN 1 ELSE 0 END AS is_dup
+       |       FROM documents)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(d.n_chars) AS BIGINT) AS chars,
+       |       CAST(sum(q.n_tokens) AS BIGINT) AS tokens,
+       |       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+       |       CAST(sum(d.is_dup) AS BIGINT) AS dup_docs,
+       |       CAST(sum(q.quality) // count(*) AS BIGINT) AS mean_quality
+       |FROM d JOIN q ON d.doc_id = q.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("x245_bitext_mine_ann", bitextMineAnn,
       Some(Round15bQueries.bitextMineSql)),
     QueryDef("x246_vocab_sweep_twophase", vocabCoverageTwoPhase,
       Some(Round16Queries.vocabCoverageSweepSql)),
     QueryDef("x247_manifest_pruned_diff", manifestPrunedDiff,
-      Some(manifestPrunedDiffSql)))
+      Some(manifestPrunedDiffSql)),
+    QueryDef("x249_datacard", dataCard, Some(dataCardSql)))
 }

@@ -104,4 +104,43 @@ class Round18Spec extends SparkSuite {
     assert(movedDocs < nDocs,
       "manifest prune admits the whole corpus — nothing was skipped")
   }
+
+  test("x249: data card conserves the corpus and every signal is live") {
+    val docs = Tables.documents(spark, sfDir)
+    val rows = SparkEntry.queries("x249_datacard")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._2).sum == docs.count(),
+      "per-source doc counts must partition the corpus")
+    assert(rows.map(_._3).sum ==
+      docs.agg(org.apache.spark.sql.functions.sum("n_chars"))
+        .collect().head.getLong(0),
+      "per-source char totals must sum to the corpus total")
+    // Exact-dup docs: recompute independently (correct even when the
+    // answer is zero — the sf0.001/sf0.01 fixtures plant only NEAR dups,
+    // measured; exact raw-text dups exist from sf0.1 up).
+    val dupBySource = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("c"))
+      .filter(col("c") > 1).select("fp")
+      .join(docs.select(col("source"), md5(col("text")).as("fp")), "fp")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r._6 == dupBySource.getOrElse(r._1, 0L),
+        s"dup_docs for ${r._1} differs from the independent recomputation")
+    }
+    // Liveness of the dup signal at the SF where the fixture plants
+    // exact dups (sf0.1 — the same cross-SF read FixtureSchemaSpec does).
+    val rowsBig = SparkEntry.queries("x249_datacard")(
+      spark, "/root/testdata/sf0.1")
+      .collect().map(r => (r.getString(0), r.getLong(5)))
+    assert(rowsBig.exists(_._2 > 0),
+      "no source reports exact-dup docs at sf0.1 — the planted dups vanished")
+    assert(rows.forall(r => r._5 >= 1),
+      "a source with documents must have at least one language")
+    assert(rows.forall(r => r._7 >= 0 && r._7 <= 10000),
+      "mean quality must stay inside the score's [0, 10000] range")
+    assert(rows.map(_._7).distinct.length > 1,
+      "every source reports the same mean quality — the signal is dead")
+  }
 }
