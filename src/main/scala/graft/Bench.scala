@@ -42,6 +42,48 @@ object Bench {
       dt
     }
 
+    // --- host-noise calibration (r13 verdict #3): two fixed ~1 s probes
+    // timed BEFORE the suite — a CPU row (range+hash aggregate, no I/O:
+    // scheduler/CPU co-tenancy) and an IO row (one full lineitem scan:
+    // page-cache/disk co-tenancy). Same warmup + min-of-2 protocol as
+    // every other number. When either reads > 1.3x its committed
+    // quiet-window reference the whole record is tagged "noisy": the
+    // drift gate then knows this round's basis is inflated, and the
+    // NEXT round's prior selection skips noisy records (r13's close
+    // committed a 369.5 s host-co-tenancy artifact as the gate's prior —
+    // a genuine ~13% regression next round would have read as flat).
+    def timeCal(body: => Unit): Double = {
+      body // warmup
+      def once: Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once, once)
+    }
+    val sparkForCal = spark
+    val calCpu = timeCal {
+      sparkForCal.range(0L, 1500000000L, 1L, cpus)
+        .selectExpr("bit_xor(xxhash64(id)) AS s")
+        .write.mode("overwrite").format("noop").save()
+    }
+    val calIo = timeCal {
+      Tables.lineitem(sparkForCal, sfDir)
+        .selectExpr("bit_xor(xxhash64(l_orderkey, l_extendedprice, l_returnflag)) AS s")
+        .write.mode("overwrite").format("noop").save()
+    }
+    // Quiet-window references, measured on this host (min-of-2 after
+    // warmup, idle box, r14). sf-dependent IO reference: only the
+    // official sf0.1 run is gated — other SFs record the probes but
+    // never tag (their records are local smokes, not the round basis).
+    val CalRefCpu = 0.55
+    val CalRefIo = 0.42
+    val isOfficialSf = new java.io.File(sfDir).getName == "sf0.1"
+    val noisy = isOfficialSf && (calCpu > 1.3 * CalRefCpu || calIo > 1.3 * CalRefIo)
+    if (noisy)
+      System.err.println(f"[bench] WARNING calibration noisy: cpu " +
+        f"$calCpu%.2fs (ref $CalRefCpu%.2f) io $calIo%.2fs (ref " +
+        f"$CalRefIo%.2f) — record tagged; drift basis for next rounds " +
+        "should skip it")
+
     // Optional comma-separated name filter — local isolation experiments
     // only (the driver never sets it, so per-round numbers stay full-set).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -100,14 +142,7 @@ object Bench {
     // compact line holds `"x90":0.93`-style pairs (full names carry a
     // trailing underscore, so the bare-id regex can't match them).
     val priorTimes: Map[String, Double] = {
-      val dir = new java.io.File(".")
-      val benchRe = "BENCH_r(\\d+)\\.json".r
-      val files = Option(dir.listFiles()).getOrElse(Array.empty)
-        .flatMap(f => f.getName match {
-          case benchRe(n) => Some(n.toInt -> f)
-          case _ => None
-        })
-      files.sortBy(_._1).lastOption.map { case (_, f) =>
+      def parse(f: java.io.File): Map[String, Double] = {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
         // Value may be integral ("x152":7) since the .0-stripping change —
@@ -118,17 +153,41 @@ object Bench {
         val pairRe = """\\?"([qx]?\d+)\\?":(\d+(?:\.\d+)?)""".r
         pairRe.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap // last wins
-      }.getOrElse(Map.empty)
+      }
+      // Quiet-basis preference (r13 verdict #3): BENCH_BASIS.json — the
+      // most recent full sf0.1 run whose calibration row read quiet,
+      // self-maintained below — beats the newest driver record, because
+      // the newest record can be a host-co-tenancy artifact (r13's
+      // committed close was 369.5 s vs same-code quiet-window 321.4 s;
+      // with it as basis a real ~13% regression would read as flat).
+      // Among driver records, skip any tagged "noisy".
+      val basis = new java.io.File("BENCH_BASIS.json")
+      if (basis.isFile) parse(basis)
+      else {
+        val dir = new java.io.File(".")
+        val benchRe = "BENCH_r(\\d+)\\.json".r
+        val files = Option(dir.listFiles()).getOrElse(Array.empty)
+          .flatMap(f => f.getName match {
+            case benchRe(n) => Some(n.toInt -> f)
+            case _ => None
+          })
+        val quiet = files.sortBy(-_._1).find { case (_, f) =>
+          !new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).contains("\"noisy\":true")
+        }
+        quiet.orElse(files.sortBy(_._1).lastOption)
+          .map { case (_, f) => parse(f) }.getOrElse(Map.empty)
+      }
     }
     // x137 is pinned: its r6 in-suite time (28.1 s) was 4x its isolated
     // time and the verdict asked for the gap to be pinned down IN the
     // official record each round, not presumed co-tenancy.
     val pinnedIsolated = Set("x137_incremental_dedup")
-    // The top-5 in-suite costs ALWAYS get isolated re-runs (r8 verdict #7:
-    // r7 and r8 both spent judge/builder time re-measuring co-tenancy
-    // artifacts after the fact — the official record now carries its own
-    // adjudication every round).
-    val top5 = results.sortBy(-_._2).take(5).map(_._1).toSet
+    // The top-10 in-suite costs ALWAYS get isolated re-runs (r8 verdict
+    // #7 established the column at top-5; r13 verdict #7 widened it to 10
+    // so co-tenancy adjudication doesn't depend on which queries happened
+    // to drift).
+    val top5 = results.sortBy(-_._2).take(10).map(_._1).toSet
     // Third element: this entry exists to ADJUDICATE a drift (prior-round
     // comparison or the x137 pin) — those stay on the stdout line even
     // when the isolated number merely confirms the in-suite one, because
@@ -237,8 +296,10 @@ object Bench {
       .map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val driftFull = commonDrift.map("," + _).getOrElse("")
+    val calFull =
+      s""","calibration":{"cpu":${ms(calCpu)},"io":${ms(calIo)},"ref_cpu":$CalRefCpu,"ref_io":$CalRefIo,"noisy":$noisy}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoFull$driftFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoFull$driftFull$calFull,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // ALSO drop the full-precision record at the repo root: past ~200
@@ -253,9 +314,24 @@ object Bench {
     // ... and OFFICIAL-SF runs only: the record is the sf0.1 number; a
     // local sf0.001 smoke must not overwrite it any more than a partial
     // subset may (same defect class as the r9 advice).
-    if (only.isEmpty && new java.io.File(sfDir).getName == "sf0.1")
+    if (only.isEmpty && isOfficialSf) {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // Self-maintained quiet basis (r13 verdict #3): a full official-SF
+      // run whose calibration read QUIET becomes the next drift-gate
+      // basis; a noisy run leaves the previous quiet basis in place.
+      // SHORT-id keys on purpose — priorTimes' pair regex parses only
+      // the compact `"x90":0.93` form (full names carry underscores).
+      if (!noisy) {
+        val basisQs = results
+          .map { case (k, v) => "\"" + outId(k) + "\":" + ms(v) }
+          .mkString("{", ",", "}")
+        val basisJson =
+          s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$basisQs$calFull,"sf":"sf0.1"}"""
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_BASIS.json"),
+          basisJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
     def shortLine(rs: Seq[(String, Double)], note: String,
         withIso: Boolean): String = {
       val qs = rs.map { case (k, v) => "\"" + outId(k) + "\":" + cs(v) }
@@ -297,8 +373,13 @@ object Bench {
     // The drift alarm earns stdout bytes only when it FIRES (the healthy
     // case says nothing — the full numbers are in the committed JSON).
     val driftNote =
-      if (commonDrift.exists(_.contains("\"alarm\":true")))
-        ""","drift_alarm":true""" else ""
+      (if (commonDrift.exists(_.contains("\"alarm\":true")))
+        ""","drift_alarm":true""" else "") +
+        // The calibration row rides the official stdout record (r13
+        // verdict #3: BENCH_r14 must carry it); "noisy" earns its bytes
+        // only when it fires.
+        s""","cal":{"cpu":${cs(calCpu)},"io":${cs(calIo)}}""" +
+        (if (noisy) ""","noisy":true""" else "")
     val withIsoLine = shortLine(results, driftNote, withIso = true)
     val noIsoLine = shortLine(results, driftNote, withIso = false)
     val compact =

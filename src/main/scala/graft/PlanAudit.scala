@@ -391,6 +391,19 @@ object PlanAudit {
       "edge table checkpointed once — rounds consume the RDD, never re-derive the self-join",
       p => p.contains("ExistingRDD") && !p.contains("l_orderkey"))
 
+    // ---- round-14 additions ----------------------------------------------
+    check("x252_ann_stored_index",
+      "probe reads the BUCKETED stored index with bucket pruning; probe rows broadcast; no index-side shuffle",
+      p => p.contains("SelectedBucketsCount") &&
+        "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+          .exists(m => m.group(1).toInt < m.group(2).toInt) &&
+        p.contains("BroadcastHashJoin") &&
+        !p.contains("Exchange hashpartitioning(bv"))
+    check("x250_corpus_pipeline",
+      "stage hand-offs are id-keyed equi-joins: no cartesian, no unpartitioned window",
+      p => !p.contains("CartesianProduct") &&
+        !p.contains("SinglePartition, Window"))
+
     // ---- round-7: the two r6-verdict scale sores, now window-free -------
     check("x151_rfm", "sampled cutpoints broadcast; NO window anywhere",
       p => p.contains("BroadcastExchange") && !p.contains("Window"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AdvancedQueries, CoreQueries, ExtraQueries, Round2Queries, Round3Queries, Round4Queries, Round4bQueries, Round5Queries, Round5bQueries, Round5cQueries, Round5dQueries, Round5eQueries, Round5fQueries, Round6Queries, Round6bQueries, Round8Queries, Round9Queries, Round9cQueries, Round10Queries, Round10bQueries, Round10cQueries, Round11Queries, Round11bQueries, Round12Queries, Round12bQueries, Round12cQueries, Round13Queries, Round14Queries, Round15Queries, Round15bQueries, Round16Queries, Round17Queries, Round18Queries}
+import graft.queries.{AdvancedQueries, CoreQueries, ExtraQueries, Round2Queries, Round3Queries, Round4Queries, Round4bQueries, Round5Queries, Round5bQueries, Round5cQueries, Round5dQueries, Round5eQueries, Round5fQueries, Round6Queries, Round6bQueries, Round8Queries, Round9Queries, Round9cQueries, Round10Queries, Round10bQueries, Round10cQueries, Round11Queries, Round11bQueries, Round12Queries, Round12bQueries, Round12cQueries, Round13Queries, Round14Queries, Round15Queries, Round15bQueries, Round16Queries, Round17Queries, Round18Queries, Round19Queries}
 import graft.operators.{BloomFilterCert, BpeTrain, ClusterEval, CmsJoinSize, ConnectedComponents, CsvIngest, Dedup, DpRelease, Dsir, EntityResolution, FuzzyJoin, HybridRetrieval, IncrementalDedup, IvfPq, KMeansLite, KmvSketch, Labeling, LangModel, LeakageSplit, LineOps, LshTuning, MmrDiversify, Multimodal, NaiveBayes, ProductQuant, RandomProjection, Retrieval, RetrievalEval, Similarity, TextAnalysis, VocabGrowth, ZOrder}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -31,7 +31,7 @@ object SparkEntry {
       VocabGrowth.queries ++ ClusterEval.queries ++ EntityResolution.queries ++
       DpRelease.queries ++ KmvSketch.queries ++ CsvIngest.queries ++
       Round13Queries.all ++ Round14Queries.all ++ Round15Queries.all ++
-      Round15bQueries.all ++ Round16Queries.all ++ Round17Queries.all ++ Round18Queries.all
+      Round15bQueries.all ++ Round16Queries.all ++ Round17Queries.all ++ Round18Queries.all ++ Round19Queries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q8 (TPC-H Q1 shape): scan→project→partial/final agg→sort end-to-end.

@@ -90,6 +90,18 @@ object CoPurchaseGraph {
     this.synchronized {
       val again = cache.get(k)
       if (again != null && alive(again)) return again
+      // Evict entries of dead SparkContexts from BOTH maps (r13 advice
+      // #2): correctness never depended on it (sharedRddIds filters by
+      // live applicationId), but in long-lived multi-session JVMs — the
+      // test suite, Bench's isolated-adjudication contexts — the maps
+      // otherwise grow one dead entry per (context, dir) forever.
+      import scala.jdk.CollectionConverters._
+      val dead = cache.asScala.collect {
+        case (key, df) if df.sparkSession.sparkContext.isStopped => key
+      }.toSeq
+      dead.foreach { key => cache.remove(key); sharedByKey.remove(key) }
+      sharedByKey.asScala.keys.filterNot(cache.containsKey)
+        .foreach(sharedByKey.remove)
       val op = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()

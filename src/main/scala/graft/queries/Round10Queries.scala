@@ -236,7 +236,7 @@ object Round10Queries {
     * alloc table (source, alloc) keeps only the final iterates live.
     * Reused by x191's temperature-flattened language mix.
     */
-  private[queries] def cappedHamilton(ps0: DataFrame, nt0: DataFrame)
+  private[graft] def cappedHamilton(ps0: DataFrame, nt0: DataFrame)
       : (DataFrame, Int) = {
     val ps = ps0.localCheckpoint()
     val nt = nt0.localCheckpoint()

@@ -37,6 +37,15 @@ object Round10cQueries {
     * documents frame: every aggregate here is map-side/microbatch
     * mergeable, which is exactly what makes the manifest maintainable
     * incrementally.
+    *
+    * FINGERPRINT-FORMAT BREAK (r13, recorded per r13 advice #3): the row
+    * hash's separator changed in round 13 from `concat_ws("")` to the
+    *  separator below, aligning Spark with the chr(1) SQL oracle.
+    * Every x192/x248 fingerprint value produced before that change is
+    * INVALID against post-change manifests — a manifest persisted from
+    * r12 or earlier must be REGENERATED, not diffed, or every source
+    * reads as "changed". Hash-verified green since the change; only
+    * cross-round manifest persistence is affected.
     */
   private[graft] def manifestAgg(docs: DataFrame): DataFrame = {
     val h = conv(substring(md5(concat_ws("\u0001",

@@ -636,7 +636,7 @@ object Round6bQueries {
     * repetition — each one pass over the token stream; the composition
     * adds three doc_id equi-joins and nothing else.
     */
-  private def filterReport(s: org.apache.spark.sql.SparkSession, dir: String)
+  private[graft] def filterReport(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     import graft.operators.{LineOps, TextAnalysis}
     val docs = Tables.documents(s, dir)
@@ -670,7 +670,7 @@ object Round6bQueries {
       .orderBy("doc_id")
   }
 
-  private val filterReportSql = {
+  private[queries] val filterReportSql: String = {
     import graft.operators.{LineOps, TextAnalysis}
     s"""WITH lang AS (SELECT doc_id, pred_lang FROM (${TextAnalysis.langIdSql}) l),
        |qual AS (SELECT doc_id, quality FROM (${TextAnalysis.qualityScoreSql}) q),

@@ -44,8 +44,16 @@ object Round8Queries {
     * Determinism: md5 order key + integer token counts + integer
     * DIV/% — the house oracle rules (hash-stable across engines).
     */
-  def sequencePack(s: SparkSession, dir: String, ctx: Long = 2048L): DataFrame = {
-    val toks = Tables.documents(s, dir).select(col("doc_id"),
+  def sequencePack(s: SparkSession, dir: String, ctx: Long = 2048L): DataFrame =
+    sequencePackDocs(Tables.documents(s, dir), ctx)
+
+  /** [[sequencePack]] over a caller-provided documents frame — the form
+    * the end-to-end corpus pipeline (x250) composes, where the packing
+    * input is the post-filter/post-dedup/post-apportionment selection,
+    * not the raw table.
+    */
+  def sequencePackDocs(documents: DataFrame, ctx: Long = 2048L): DataFrame = {
+    val toks = documents.select(col("doc_id"),
       md5(col("doc_id").cast("string")).as("k"),
       size(filter(split(col("text"), " "), (w: Column) => w =!= ""))
         .cast("long").as("n_tok"))

@@ -675,6 +675,117 @@ object StreamingOps {
         .orderBy("source")
     }
 
+  /** x251: streaming incremental dedup — x137's two-snapshot state
+    * machine placed in its PRODUCTION position (r13 verdict #4): dedup as
+    * data lands, one microbatch at a time, with the three id-sized stores
+    * x137 carries between snapshots maintained as parquet-backed state
+    * (the x119 generation-swap idiom, crash-atomicity proven by
+    * MvRecoverySpec for the shared pattern):
+    *
+    *  - fingerprint store (fp → min doc_id): exact-dup winners, merged
+    *    per batch; an old winner beaten by a smaller-id exact twin is
+    *    REVOKED — its signature rows and edges leave with it.
+    *  - signature index (doc_id, band, sig): new survivors' LSH rows
+    *    join ONLY against this index — new×(new∪old) candidates per
+    *    microbatch, old×old never re-joins.
+    *  - edge store (a, b): verified near-dup pairs among survivors,
+    *    accumulated; revoked endpoints filtered out on merge.
+    *
+    * The corpus text itself is an APPEND-ONLY store (docs/b<batchId> per
+    * microbatch — batchId-keyed so a replayed microbatch overwrites, not
+    * doubles): candidate verification point-reads only candidate docs'
+    * text from it, exactly x137's "shingle only the candidates" shape.
+    * The per-batch state rewrite (filter revoked + union new) is the
+    * foreachBatch-MERGE pattern of [[streamingUpsertMv]]; a table format
+    * (Delta/Iceberg) would render it as MERGE + compaction instead of a
+    * generation swap, plan unchanged.
+    *
+    * Drained ≡ batch: the final survivor set (fp winners minus cluster
+    * losers over the drained edge store) is split-independent by x137's
+    * incremental-≡-scratch construction — kept set = min-id per
+    * fingerprint over the union however it arrived; every ≥1-new edge is
+    * generated by the batch that introduced its newer endpoint; identical
+    * edge set → identical components → identical survivors. So x251
+    * shares x137's from-scratch oracle VERBATIM
+    * ([[graft.operators.IncrementalDedup.scratchOracleSql]]).
+    */
+  def streamingIncrementalDedupWithStats(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): (DataFrame, Int) =
+    withStreamPartitions(spark) {
+      import graft.operators.Dedup
+      import java.nio.file.Files
+      val runDir = Files.createTempDirectory("graft_incdedup_").toString
+      val docsDir = s"$runDir/docs"
+      var cur: Option[String] = None
+      var batches = 0
+      def emptyDf(ddl: String) = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      val q = stagedDocsStream(spark, dir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batches += 1
+          val newDocs = batch.select("doc_id", "text").localCheckpoint()
+          val (fpOld, sigOld, edgeOld) = cur match {
+            case Some(p) => (spark.read.parquet(s"$p/fp"),
+              spark.read.parquet(s"$p/sig"), spark.read.parquet(s"$p/edge"))
+            case None => (emptyDf("fp STRING, doc_id BIGINT"),
+              emptyDf("doc_id BIGINT, band INT, sig BIGINT"),
+              emptyDf("a BIGINT, b BIGINT"))
+          }
+          // Merge fingerprints; revoke beaten winners; keep new winners.
+          val winners = fpOld
+            .unionByName(newDocs.select(md5(col("text")).as("fp"),
+              col("doc_id")))
+            .groupBy("fp").agg(min("doc_id").as("doc_id"))
+            .localCheckpoint()
+          val winnerIds = winners.select("doc_id")
+          val revoked = fpOld.select("doc_id")
+            .join(winnerIds, Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          val keptNew = newDocs.join(winnerIds, Seq("doc_id"), "left_semi")
+          // Append this batch's surviving docs to the corpus store FIRST:
+          // verification below point-reads candidate text from it.
+          keptNew.write.mode("overwrite").parquet(s"$docsDir/b$batchId")
+          // New-side-only candidate join against the updated index.
+          val sigsNew = Dedup.bandSignatures(keptNew).localCheckpoint()
+          val sigIndex = sigOld.join(revoked, Seq("doc_id"), "left_anti")
+            .unionByName(sigsNew)
+          val cand = sigsNew.as("x").join(sigIndex.as("y"),
+              col("x.band") === col("y.band") &&
+                col("x.sig") === col("y.sig") &&
+                col("x.doc_id") =!= col("y.doc_id"))
+            .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+              greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+            .distinct()
+          val corpus = spark.read.parquet(s"$docsDir/b*")
+          val edgesNew = Dedup.verifyCandidates(corpus, cand, threshold)
+            .select("a", "b")
+          val edges = edgeOld
+            .join(revoked.select(col("doc_id").as("a")), Seq("a"), "left_anti")
+            .join(revoked.select(col("doc_id").as("b")), Seq("b"), "left_anti")
+            .unionByName(edgesNew)
+          // Generation swap, batchId-keyed (idempotent on replay).
+          val next = s"$runDir/v$batchId"
+          winners.write.mode("overwrite").parquet(s"$next/fp")
+          sigIndex.write.mode("overwrite").parquet(s"$next/sig")
+          edges.write.mode("overwrite").parquet(s"$next/edge")
+          Seq(newDocs, winners, revoked, sigsNew)
+            .foreach(graft.QueryDef.dropCheckpoint)
+          cur = Some(next)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val p = cur.getOrElse(sys.error("no microbatch ran"))
+      val losers = Dedup.dedupClusters(spark.read.parquet(s"$p/edge"))
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      (spark.read.parquet(s"$p/fp").select("doc_id")
+        .join(losers, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id"), batches)
+    }
+
   /** x244: streaming histogram quantiles — x243's 32-bucket per-type
     * histogram built incrementally (the whole reason equi-width
     * histograms run in monitoring stacks: per-microbatch vector-add of a
@@ -1744,6 +1855,14 @@ object StreamingOps {
       // x192's oracle VERBATIM: the incrementally-maintained manifest
       // must equal the batch manifest row for row.
       Some(graft.queries.Round10cQueries.contentManifestSql)),
+
+    QueryDef(
+      "x251_stream_incremental_dedup",
+      (s, dir) => streamingIncrementalDedupWithStats(s, dir)._1,
+      // x137's from-scratch oracle VERBATIM: the drained parquet-backed
+      // state must yield the same survivors as a full rebuild — the
+      // incremental-≡-scratch construction, now per microbatch.
+      Some(graft.operators.IncrementalDedup.scratchOracleSql)),
 
     QueryDef(
       "x212_stream_mix_drift",

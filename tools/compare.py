@@ -51,6 +51,40 @@ def canon_value(v):
     return str(v)
 
 
+def null_nan_counts_duckdb(con, sql, cols):
+    # Per-column (NULL count, NaN count) from a SECOND, fetchall()-based
+    # execution (r13 advice #4): post-pandas values conflate SQL NULL and
+    # genuine NaN in numeric columns, so an engine NULL-vs-NaN divergence
+    # was locally undetectable. Counting is ORDER-INDEPENDENT, so the
+    # second execution needs no row alignment with the .df() one — and
+    # fetchall keeps None (NULL) distinct from float('nan').
+    counts = {c: [0, 0] for c in cols}
+    for row in con.execute(sql).fetchall():
+        for c, v in zip(cols, row):
+            if v is None:
+                counts[c][0] += 1
+            elif isinstance(v, float) and math.isnan(v):
+                counts[c][1] += 1
+    return {c: tuple(v) for c, v in counts.items()}
+
+
+def null_nan_counts_spark(path):
+    # pyarrow keeps the parquet validity bitmap: null_count is true NULLs;
+    # NaNs are counted over the non-null float values only.
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(path)
+    out = {}
+    for c in tbl.column_names:
+        col = tbl.column(c)
+        nnull = col.null_count
+        nnan = 0
+        if str(col.type) in ("float", "double", "halffloat"):
+            nnan = pc.sum(pc.is_nan(col.drop_null())).as_py() or 0
+        out[c] = (nnull, nnan)
+    return out
+
+
 def canon(df):
     cols = sorted(df.columns)
     out = []
@@ -129,6 +163,21 @@ def main():
                   f"driver's pandas gate cannot sort these; stringify them")
             n_fail += 1
             continue
+        # NULL-vs-NaN divergence gate (r13 advice #4): canon() below sees
+        # post-pandas values where both canonicalize alike, so compare the
+        # per-column (NULL, NaN) count pairs captured BEFORE the coercion.
+        # Cheap pre-check: if neither coerced frame carries ANY NA/NaN the
+        # ambiguity cannot arise — skip the second oracle execution.
+        if bool(odf.isna().any().any()) or bool(sdf.isna().any().any()):
+            onn = null_nan_counts_duckdb(con, sql, ocols)
+            snn = null_nan_counts_spark(f"{outdir}/{name}")
+            nn_diff = {c: (onn.get(c), snn.get(c)) for c in onn
+                       if onn.get(c) != snn.get(c)}
+            if nn_diff:
+                print(f"FAIL {name}: NULL/NaN divergence (duckdb, spark) "
+                      f"per column (n_null, n_nan): {nn_diff}")
+                n_fail += 1
+                continue
         oc, orws = canon(odf)
         sc, srws = canon(sdf)
         if oc != sc:
