@@ -39,9 +39,14 @@ Test / testGrouping := {
   val all = (Test / definedTests).value
   val retry = all.filter(_.name.endsWith("RetryExactlyOnceSpec"))
   val audit = all.filter(_.name.endsWith("PlanAuditSpec"))
-  val rest = all.filterNot(t => retry.contains(t) || audit.contains(t))
+  // Own JVM: must create the FIRST SparkContext with static memory/spill
+  // configs, and stops it mid-test.
+  val spill = all.filter(_.name.endsWith("SpillSpec"))
+  val rest = all.filterNot(t =>
+    retry.contains(t) || audit.contains(t) || spill.contains(t))
   Seq(Tests.Group("retry", retry, Tests.SubProcess(forkOpts)),
     Tests.Group("planaudit", audit, Tests.SubProcess(forkOpts)),
+    Tests.Group("spill", spill, Tests.SubProcess(forkOpts)),
     Tests.Group("main", rest, Tests.SubProcess(forkOpts)))
     .filter(_.tests.nonEmpty)
 }

@@ -59,17 +59,20 @@ object Bench {
       }
       math.min(once, once)
     }
-    val sparkForCal = spark
-    val calCpu = timeCal {
-      sparkForCal.range(0L, 1500000000L, 1L, cpus)
-        .selectExpr("bit_xor(xxhash64(id)) AS s")
-        .write.mode("overwrite").format("noop").save()
+    def calibrate(): (Double, Double) = {
+      val cpu = timeCal {
+        spark.range(0L, 1500000000L, 1L, cpus)
+          .selectExpr("bit_xor(xxhash64(id)) AS s")
+          .write.mode("overwrite").format("noop").save()
+      }
+      val io = timeCal {
+        Tables.lineitem(spark, sfDir)
+          .selectExpr("bit_xor(xxhash64(l_orderkey, l_extendedprice, l_returnflag)) AS s")
+          .write.mode("overwrite").format("noop").save()
+      }
+      (cpu, io)
     }
-    val calIo = timeCal {
-      Tables.lineitem(sparkForCal, sfDir)
-        .selectExpr("bit_xor(xxhash64(l_orderkey, l_extendedprice, l_returnflag)) AS s")
-        .write.mode("overwrite").format("noop").save()
-    }
+    val (calCpu, calIo) = calibrate()
     // Quiet-window references, measured on this host (min-of-2 after
     // warmup, idle box, r14). sf-dependent IO reference: only the
     // official sf0.1 run is gated — other SFs record the probes but
@@ -77,12 +80,8 @@ object Bench {
     val CalRefCpu = 0.55
     val CalRefIo = 0.42
     val isOfficialSf = new java.io.File(sfDir).getName == "sf0.1"
-    val noisy = isOfficialSf && (calCpu > 1.3 * CalRefCpu || calIo > 1.3 * CalRefIo)
-    if (noisy)
-      System.err.println(f"[bench] WARNING calibration noisy: cpu " +
-        f"$calCpu%.2fs (ref $CalRefCpu%.2f) io $calIo%.2fs (ref " +
-        f"$CalRefIo%.2f) — record tagged; drift basis for next rounds " +
-        "should skip it")
+    def hot(cpu: Double, io: Double): Boolean =
+      cpu > 1.3 * CalRefCpu || io > 1.3 * CalRefIo
 
     // Optional comma-separated name filter — local isolation experiments
     // only (the driver never sets it, so per-round numbers stay full-set).
@@ -95,6 +94,21 @@ object Bench {
     // to 6x noise on first post-warmup execution (GC/compilation stragglers).
     val pass1 = names.map(n => n -> run(n)).toMap
     val pass2 = names.map(n => n -> run(n)).toMap
+    // END-of-suite calibration (r14, after the drift instrumentation's
+    // first live firing): the start probe alone missed a co-tenant that
+    // RAMPED during the ~35-min run — start read quiet, yet 196/267
+    // common queries drifted >1.2x uniformly while the end-of-run
+    // isolated column re-read them at 0.4-0.9x. Probing again at suite
+    // end makes a mid-run environment shift visible in the record
+    // itself; either reading above the bar tags the record noisy.
+    val (calCpuEnd, calIoEnd) = calibrate()
+    val noisy = isOfficialSf &&
+      (hot(calCpu, calIo) || hot(calCpuEnd, calIoEnd))
+    if (noisy)
+      System.err.println(f"[bench] WARNING calibration noisy: start cpu " +
+        f"$calCpu%.2fs io $calIo%.2fs, end cpu $calCpuEnd%.2fs io " +
+        f"$calIoEnd%.2fs (refs $CalRefCpu%.2f/$CalRefIo%.2f, bar 1.3x) — " +
+        "record tagged; drift basis for next rounds should skip it")
     val results = names.map { n =>
       val (a, b) = (pass1(n), pass2(n))
       n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
@@ -297,7 +311,7 @@ object Bench {
       .mkString("{", ",", "}")
     val driftFull = commonDrift.map("," + _).getOrElse("")
     val calFull =
-      s""","calibration":{"cpu":${ms(calCpu)},"io":${ms(calIo)},"ref_cpu":$CalRefCpu,"ref_io":$CalRefIo,"noisy":$noisy}"""
+      s""","calibration":{"cpu":${ms(calCpu)},"io":${ms(calIo)},"cpu_end":${ms(calCpuEnd)},"io_end":${ms(calIoEnd)},"ref_cpu":$CalRefCpu,"ref_io":$CalRefIo,"noisy":$noisy}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoFull$driftFull$calFull,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
@@ -318,11 +332,18 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // Self-maintained quiet basis (r13 verdict #3): a full official-SF
-      // run whose calibration read QUIET becomes the next drift-gate
-      // basis; a noisy run leaves the previous quiet basis in place.
+      // run whose calibration read QUIET *and* whose common-query drift
+      // did not alarm becomes the next drift-gate basis; a noisy OR
+      // alarmed run leaves the previous quiet basis in place. The alarm
+      // condition is load-bearing: the r14 close read quiet at the start
+      // probe yet drifted 196/267 common queries >1.2x (a co-tenant that
+      // ramped mid-run) — without it, that inflated map would have
+      // replaced the quiet basis and blinded the next round's gate, the
+      // exact defect the basis exists to prevent.
       // SHORT-id keys on purpose — priorTimes' pair regex parses only
       // the compact `"x90":0.93` form (full names carry underscores).
-      if (!noisy) {
+      val alarmed = commonDrift.exists(_.contains("\"alarm\":true"))
+      if (!noisy && !alarmed) {
         val basisQs = results
           .map { case (k, v) => "\"" + outId(k) + "\":" + ms(v) }
           .mkString("{", ",", "}")

@@ -234,9 +234,12 @@ object Similarity {
     * route to buckets you haven't looked at), same class as x89's probe
     * set.
     */
-  def annTopKBandedStored(spark: SparkSession, emb: DataFrame, dir: String,
-      queryId: Long, k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
+  /** Builds (once per (corpus, params) per metastore) and returns the
+    * name of the persisted bv-bucketed banded signature table — shared
+    * by the single-probe (x252) and multiprobe (x253) stored routes.
+    */
+  private def storedSigTable(spark: SparkSession, emb: DataFrame,
+      dir: String, planes: Int, bands: Int): String = {
     val srcPath = java.nio.file.Paths.get(dir, "embeddings.parquet")
     val key = java.lang.Long.toHexString(java.util.Objects.hash(
       "annsig", dir, java.nio.file.Files.size(srcPath),
@@ -255,23 +258,69 @@ object Similarity {
           .mode("overwrite").saveAsTable(tbl)
       }
     }
+    tbl
+  }
+
+  private val probeSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bv",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("q",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+
+  def annTopKBandedStored(spark: SparkSession, emb: DataFrame, dir: String,
+      queryId: Long, k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val tbl = storedSigTable(spark, emb, dir, planes, bands)
     val probe = bandedSigs(hyperplaneSigs(spark,
         emb.filter(col("vec_id") === queryId), planes), planes, bands)
       .select(col("band"), col("bv"), col("e").as("q"))
       .collect()
     val probeDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(probe.toSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("band",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("bv",
-          org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("q",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType)))))
+      spark.sparkContext.parallelize(probe.toSeq, 1), probeSchema)
     val bvs = probe.map(_.getInt(1)).distinct.toSeq
     spark.table(tbl)
       .filter(col("bv").isin(bvs: _*)) // bucket pruning
+      .join(broadcast(probeDf), Seq("band", "bv"))
+      .select(col("vec_id"), col("e"), col("q"))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"),
+        round(cosine(col("e"), col("q")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** x253: [[annTopKMultiprobe]] served from the SAME persisted bucketed
+    * index as [[annTopKBandedStored]] — the multiprobe recall lever is a
+    * QUERY-side change only (each band probed at its exact bucket plus
+    * its bandBits 1-bit flips), so the stored route differs from x252 in
+    * nothing but the probe-row fanout and the pruning predicate's value
+    * list: the index is untouched, which is the whole point of
+    * multiprobe at 100 TB (turn the recall knob without re-bucketing).
+    * Shares x138's oracle verbatim.
+    */
+  def annTopKMultiprobeStored(spark: SparkSession, emb: DataFrame,
+      dir: String, queryId: Long, k: Int, planes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val bandBits = planes / bands
+    val tbl = storedSigTable(spark, emb, dir, planes, bands)
+    val probe = bandedSigs(hyperplaneSigs(spark,
+        emb.filter(col("vec_id") === queryId), planes), planes, bands)
+      .select(col("band"),
+        explode(array(col("bv") +:
+          (0 until bandBits).map(i => col("bv").bitwiseXOR(lit(1 << i))): _*))
+          .as("bv"),
+        col("e").as("q"))
+      .collect()
+    val probeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(probe.toSeq, 1), probeSchema)
+    val bvs = probe.map(_.getInt(1)).distinct.toSeq
+    spark.table(tbl)
+      .filter(col("bv").isin(bvs: _*)) // bucket pruning (wider value list)
       .join(broadcast(probeDf), Seq("band", "bv"))
       .select(col("vec_id"), col("e"), col("q"))
       .dropDuplicates("vec_id")
@@ -842,6 +891,21 @@ object Similarity {
       s" (q.qsig >> ${b * RecallCert.bandBits}) & ${RecallCert.mask})) <= 1")
     .mkString("(", " OR ", ")")
 
+  /** x138's oracle — also x253's, verbatim by construction (the stored
+    * multiprobe route declares the identical candidate set + re-rank).
+    */
+  private lazy val annMultiprobeSql: String =
+    s"""$sigCtesSql,
+       | q AS (SELECT e.v AS qv, sg.sig AS qsig
+       |       FROM e JOIN sg USING (vec_id) WHERE vec_id = 0)
+       |SELECT e.vec_id,
+       |       round(list_dot_product(e.v, q.qv)
+       |         / (sqrt(list_dot_product(e.v, e.v))
+       |          * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+       |FROM e JOIN sg USING (vec_id), q
+       |WHERE $bandNear
+       |ORDER BY cos_sim DESC, vec_id ASC LIMIT ${RecallCert.k}""".stripMargin
+
   private val annBandedSql = {
     s"""$sigCtesSql,
        | q AS (SELECT e.v AS qv, sg.sig AS qsig
@@ -1043,17 +1107,16 @@ object Similarity {
       "x138_ann_multiprobe",
       (s, dir) => annTopKMultiprobe(s, Tables.embeddings(s, dir), 0L,
         RecallCert.k, RecallCert.planes, RecallCert.bands),
-      Some(
-        s"""$sigCtesSql,
-           | q AS (SELECT e.v AS qv, sg.sig AS qsig
-           |       FROM e JOIN sg USING (vec_id) WHERE vec_id = 0)
-           |SELECT e.vec_id,
-           |       round(list_dot_product(e.v, q.qv)
-           |         / (sqrt(list_dot_product(e.v, e.v))
-           |          * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
-           |FROM e JOIN sg USING (vec_id), q
-           |WHERE $bandNear
-           |ORDER BY cos_sim DESC, vec_id ASC LIMIT ${RecallCert.k}""".stripMargin)),
+      Some(annMultiprobeSql)),
+
+    // x138 served from x252's persisted bucketed index — the multiprobe
+    // lever is query-side only (index untouched, wider probe fanout +
+    // wider pruning value list) — x138's oracle VERBATIM.
+    QueryDef(
+      "x253_ann_stored_multiprobe",
+      (s, dir) => annTopKMultiprobeStored(s, Tables.embeddings(s, dir),
+        dir, 0L, RecallCert.k, RecallCert.planes, RecallCert.bands),
+      Some(annMultiprobeSql)),
 
     // Batched exact retrieval (5 probes, top-3 each) — one corpus pass
     // for the whole probe set; WindowGroupLimit prunes before the

@@ -257,6 +257,17 @@ class Round19Spec extends SparkSuite {
       s"bucket pruning selected all buckets: ${m.get.group(0)}")
     assert(!plan.contains("Exchange hashpartitioning(bv"),
       "the stored index side was shuffled — the bucketed layout was ignored")
+
+    // The multiprobe stored route (x253) must equal ITS in-memory twin
+    // too — same index table, wider probe fanout only.
+    val storedM = graft.operators.Similarity
+      .annTopKMultiprobeStored(spark, emb, sfDir, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val memM = graft.operators.Similarity
+      .annTopKMultiprobe(spark, emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(storedM.nonEmpty && storedM == memM,
+      "stored-index multiprobe route diverges from the in-memory route")
   }
 
   test("x245 byte gate: over-the-bar fr side falls back to plain equi-joins, same result") {

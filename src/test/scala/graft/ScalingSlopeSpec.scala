@@ -60,7 +60,17 @@ class ScalingSlopeSpec extends SparkSuite {
     // quadratic; x202's banded candidate join is the multimodal
     // analog of x03 — band-value buckets exploding would surface here.
     "x197_gram_novelty", "x200_quality_canonical",
-    "x201_lpa_communities", "x202_phash_neardup")
+    "x201_lpa_communities", "x202_phash_neardup",
+    // r14 members: the composed corpus pipeline inherits every member
+    // risk at once (x156's bigram pass, the survivor-restricted LSH pair
+    // join, the Hamilton fixpoint, the packing prefix sum) — a hidden
+    // cross term anywhere in the chain surfaces as the pipeline's slope;
+    // the streaming placement adds per-microbatch state IO on top of
+    // x137's new×(new∪old) joins, and the gate pins that the generation
+    // rewrites stay linear in the corpus. (x252 is sub-second at both
+    // SFs — below the 0.2 s denominator floor, no signal, left out like
+    // x187/x188.)
+    "x250_corpus_pipeline", "x251_stream_incremental_dedup")
 
   private def timeOnce(name: String, dir: String): Double = {
     val t0 = System.nanoTime()
