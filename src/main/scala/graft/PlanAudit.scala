@@ -399,6 +399,10 @@ object PlanAudit {
           .exists(m => m.group(1).toInt < m.group(2).toInt) &&
         p.contains("BroadcastHashJoin") &&
         !p.contains("Exchange hashpartitioning(bv"))
+    check("x254_ivf_stored_cells",
+      "probe's cid filter pushed to the stored cell-table scan (row-group pruning; bucket-level proven in Round19Spec)",
+      p => p.contains("graft_ivf_cells_") &&
+        p.contains("PushedFilters: [In(cid"))
     check("x250_corpus_pipeline",
       "stage hand-offs are id-keyed equi-joins: no cartesian, no unpartitioned window",
       p => !p.contains("CartesianProduct") &&

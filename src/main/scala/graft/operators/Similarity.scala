@@ -699,8 +699,9 @@ object Similarity {
     * not the corpus (at 100 TB you sample ~1M); assignment is one
     * broadcast-centroids argmin pass; the cell id becomes the
     * partition/bucket key so probes touch ~nprobe/nlist of the data.
-    * Cell assignment would be written once as a bucketed table in a real
-    * deployment.
+    * Cell assignment is written once as a bucketed table in a real
+    * deployment — SHIPPED as x254 ([[ivfTopKStored]]), which shares this
+    * query's oracle verbatim.
     */
   def ivfTopK(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
@@ -745,6 +746,83 @@ object Similarity {
       .select(col("vec_id"),
         round(cosine(col("v"), col("qv")), 6)
           .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** x254: [[ivfTopK]] served from PERSISTED IVF state — the sentence
+    * its Scaladoc has carried since r9 ("cell assignment would be
+    * written once as a bucketed table in a real deployment"), shipped:
+    * the trained centroid table (nlist rows) and the global cell
+    * assignment (bucketed by `cid` — the IVF partition key) are written
+    * once per (corpus, params); a probe then TRAINS NOTHING — it reads
+    * the 16-row centroid table, ranks cells against the query
+    * (driver-bounded nprobe collect, the bucket-routing collect every
+    * IVF serving system performs), bucket-PRUNES the cell table scan to
+    * the nprobe cells, and exact-re-ranks inside them. Identical
+    * trajectory and arithmetic to x23 (same deterministic trainer
+    * builds the tables) → shares x23's oracle VERBATIM.
+    */
+  def ivfTopKStored(spark: SparkSession, emb: DataFrame, dir: String,
+      queryId: Long, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 2, maxTrain: Int = 1024): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val srcPath = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val key = java.lang.Long.toHexString(java.util.Objects.hash(
+      "ivf", dir, java.nio.file.Files.size(srcPath),
+      java.nio.file.Files.getLastModifiedTime(srcPath).toMillis,
+      nlist, iters, maxTrain).toLong & 0xffffffffL)
+    val (cellTbl, centTbl) = (s"graft_ivf_cells_$key", s"graft_ivf_cents_$key")
+    if (!spark.catalog.tableExists(cellTbl) ||
+        !spark.catalog.tableExists(centTbl)) this.synchronized {
+      if (!spark.catalog.tableExists(cellTbl) ||
+          !spark.catalog.tableExists(centTbl)) {
+        Seq(cellTbl, centTbl).foreach { t =>
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(s"spark-warehouse/$t"))
+        }
+        val vecs = KMeansLite.vectors(emb)
+        val stepDF = vecs.agg(greatest(lit(1L),
+          expr(s"(count(1) + ${maxTrain - 1}) div $maxTrain")).as("step"))
+        val sample = vecs.crossJoin(broadcast(stepDF))
+          .filter(pmod(col("vec_id"), col("step")) === 0)
+          .select("vec_id", "v")
+        var cents = KMeansLite.initCentroids(sample, nlist)
+        for (_ <- 0 until iters)
+          cents = KMeansLite.recompute(KMeansLite.assign(sample, cents))
+        cents = cents.localCheckpoint()
+        cents.write.mode("overwrite").saveAsTable(centTbl)
+        KMeansLite.assign(vecs, cents)
+          .write.bucketBy(nlist, "cid").sortBy("cid")
+          .mode("overwrite").saveAsTable(cellTbl)
+        graft.QueryDef.dropCheckpoint(cents)
+      }
+    }
+    val cents = spark.table(centTbl)
+    val qv = KMeansLite.vectors(emb).filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"))
+    val probedCids = cents.crossJoin(broadcast(qv))
+      .select(col("cid"),
+        (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("cv")) +
+          dot(col("cv"), col("cv"))).as("d2"))
+      .orderBy(col("d2"), col("cid")).limit(nprobe)
+      .collect().map(_.getLong(0)).toSeq
+    // Pruning mechanics, honestly: the In(cid, …) literal pushes to the
+    // scan either way. With bucketed reading active it prunes whole
+    // BUCKETS (SelectedBucketsCount — Round19Spec proves it under
+    // autoBucketedScan=false); under the default planner this probe has
+    // no distribution-requiring operator downstream, so
+    // DisableUnnecessaryBucketedScan switches the scan to the plain
+    // reader and the SAME pushed filter prunes at parquet row-group
+    // level instead — the table is sortBy(cid), so each bucket file's
+    // row groups are cid-clustered and non-probed cells' IO is skipped
+    // (PlanAudit asserts the pushed filter). Identical bytes-touched
+    // asymptotics (~nprobe/nlist of the index) by either mechanism.
+    spark.table(cellTbl)
+      .filter(col("cid").isin(probedCids: _*))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -1077,6 +1155,15 @@ object Similarity {
     QueryDef(
       "x23_ivf_topk",
       (s, dir) => ivfTopK(s, Tables.embeddings(s, dir), 0L, 10),
+      Some(ivfTopKSql(queryId = 0L, k = 10, nlist = 16, nprobe = 4,
+        maxTrain = 1024, dim = 64))),
+
+    // x23 served from PERSISTED IVF state: stored centroid table +
+    // cid-bucketed cell table, probe trains nothing — x23's oracle
+    // VERBATIM (same deterministic trainer built the tables).
+    QueryDef(
+      "x254_ivf_stored_cells",
+      (s, dir) => ivfTopKStored(s, Tables.embeddings(s, dir), dir, 0L, 10),
       Some(ivfTopKSql(queryId = 0L, k = 10, nlist = 16, nprobe = 4,
         maxTrain = 1024, dim = 64))),
 

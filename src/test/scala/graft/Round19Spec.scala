@@ -270,6 +270,45 @@ class Round19Spec extends SparkSuite {
       "stored-index multiprobe route diverges from the in-memory route")
   }
 
+  test("x254: stored IVF cells == in-memory route; cell-table pruning live by both mechanisms") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val stored = graft.operators.Similarity
+      .ivfTopKStored(spark, emb, sfDir, 0L, 10)
+    val got = stored.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mem = graft.operators.Similarity
+      .ivfTopK(spark, emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty && got == mem,
+      "stored-IVF route diverges from the in-memory route")
+    // Default planner: no distribution-requiring operator downstream, so
+    // DisableUnnecessaryBucketedScan picks the plain reader — the pushed
+    // In(cid, …) filter must still reach the scan (row-group pruning on
+    // the cid-sorted bucket files).
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(cid"),
+      s"cid probe filter not pushed to the cell-table scan:\n$plan")
+    // Bucketed reading forced: the SAME plan must prune whole buckets.
+    val prev = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    try {
+      spark.conf
+        .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val bucketed = graft.operators.Similarity
+        .ivfTopKStored(spark, emb, sfDir, 0L, 10)
+      val gotB = bucketed.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(gotB == mem, "bucketed-scan route diverges")
+      val bPlan = bucketed.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(bPlan)
+      assert(m.isDefined,
+        s"no bucket pruning with bucketed scan forced:\n$bPlan")
+      assert(m.get.group(1).toInt < m.get.group(2).toInt,
+        s"IVF probe scanned all cells: ${m.get.group(0)}")
+    } finally spark.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+  }
+
   test("x245 byte gate: over-the-bar fr side falls back to plain equi-joins, same result") {
     val docs = Tables.documents(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
