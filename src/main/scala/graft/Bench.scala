@@ -343,7 +343,20 @@ object Bench {
       // SHORT-id keys on purpose — priorTimes' pair regex parses only
       // the compact `"x90":0.93` form (full names carry underscores).
       val alarmed = commonDrift.exists(_.contains("\"alarm\":true"))
-      if (!noisy && !alarmed) {
+      // ... and the update additionally requires NEAR-FLAT drift
+      // (common sum <= 1.05x the basis), not merely "no alarm": the r14
+      // close measured the ratchet this prevents — three same-night runs
+      // at 321 -> 376 -> 425 s, each step under the 1.25x alarm with
+      // quiet probes, each replacing the basis, compounding to +32%
+      // basis inflation in one night. A <=5% step cannot compound past
+      // the alarm bar before a genuinely quiet run resets it.
+      val nearFlat = commonDrift.forall { d =>
+        val re = """"prior":([0-9.]+),"now":([0-9.]+)""".r
+        re.findFirstMatchIn(d).forall { m =>
+          m.group(2).toDouble <= 1.05 * m.group(1).toDouble
+        }
+      }
+      if (!noisy && !alarmed && nearFlat) {
         val basisQs = results
           .map { case (k, v) => "\"" + outId(k) + "\":" + ms(v) }
           .mkString("{", ",", "}")
