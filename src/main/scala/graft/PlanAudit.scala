@@ -408,6 +408,15 @@ object PlanAudit {
       p => !p.contains("CartesianProduct") &&
         !p.contains("SinglePartition, Window"))
 
+    // ---- round-15 additions ----------------------------------------------
+    check("x255_stream_ann_index",
+      "probe unions BUCKET-PRUNED scans of the stream-built segments; probe rows broadcast; no index-side shuffle",
+      p => p.contains("SelectedBucketsCount") &&
+        "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findAllMatchIn(p)
+          .forall(m => m.group(1).toInt < m.group(2).toInt) &&
+        p.contains("BroadcastHashJoin") &&
+        !p.contains("Exchange hashpartitioning(bv"))
+
     // ---- round-7: the two r6-verdict scale sores, now window-free -------
     check("x151_rfm", "sampled cutpoints broadcast; NO window anywhere",
       p => p.contains("BroadcastExchange") && !p.contains("Window"))

@@ -241,18 +241,22 @@ object Similarity {
   private def storedSigTable(spark: SparkSession, emb: DataFrame,
       dir: String, planes: Int, bands: Int): String = {
     val srcPath = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val key = java.lang.Long.toHexString(java.util.Objects.hash(
+    // Full-width content key (r14 advice #1): a 32-bit hash collision
+    // across corpora would silently serve a stale index built for
+    // different data — wrong neighbors with no error.
+    val key = StoredTables.contentKey(
       "annsig", dir, java.nio.file.Files.size(srcPath),
       java.nio.file.Files.getLastModifiedTime(srcPath).toMillis,
-      planes, bands).toLong & 0xffffffffL)
+      planes, bands)
     val tbl = s"graft_ann_sig_$key"
     if (!spark.catalog.tableExists(tbl)) this.synchronized {
       if (!spark.catalog.tableExists(tbl)) {
-        // A fresh derby metastore doesn't know tables from previous JVMs;
-        // DROP alone leaves stale warehouse dirs — clear on disk too
-        // (BucketingSpec's lifecycle).
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(s"spark-warehouse/$tbl"))
+        // Stale versions (old corpus mtimes / params) leave first —
+        // bounded metastore growth; then clear this table's own leftover
+        // warehouse dir (fresh derby metastores don't know tables from
+        // previous JVMs; DROP alone leaves the dir and saveAsTable fails).
+        StoredTables.sweepStale(spark, "graft_ann_sig_", _ == tbl)
+        StoredTables.dropTable(spark, tbl)
         bandedSigs(hyperplaneSigs(spark, emb, planes), planes, bands)
           .write.bucketBy(16, "bv").sortBy("bv", "band")
           .mode("overwrite").saveAsTable(tbl)
@@ -271,10 +275,17 @@ object Similarity {
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType))))
 
-  def annTopKBandedStored(spark: SparkSession, emb: DataFrame, dir: String,
-      queryId: Long, k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
+  /** The shared stored-index probe plan: per signature TABLE, a
+    * bucket-PRUNED scan (bv In-filter) equi-joined with the broadcast
+    * probe rows; segments union AFTER their pruned scans (x255's LSM
+    * shape — each segment is bucket-pruned independently, the index side
+    * is never shuffled). A vector lives in exactly one segment, so the
+    * per-vec dedup and re-rank semantics equal the single-table route.
+    */
+  private def annProbeStored(spark: SparkSession, emb: DataFrame,
+      tbls: Seq[String], queryId: Long, k: Int, planes: Int,
+      bands: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val tbl = storedSigTable(spark, emb, dir, planes, bands)
     val probe = bandedSigs(hyperplaneSigs(spark,
         emb.filter(col("vec_id") === queryId), planes), planes, bands)
       .select(col("band"), col("bv"), col("e").as("q"))
@@ -282,8 +293,8 @@ object Similarity {
     val probeDf = spark.createDataFrame(
       spark.sparkContext.parallelize(probe.toSeq, 1), probeSchema)
     val bvs = probe.map(_.getInt(1)).distinct.toSeq
-    spark.table(tbl)
-      .filter(col("bv").isin(bvs: _*)) // bucket pruning
+    tbls.map(t => spark.table(t).filter(col("bv").isin(bvs: _*)))
+      .reduce(_.unionByName(_))
       .join(broadcast(probeDf), Seq("band", "bv"))
       .select(col("vec_id"), col("e"), col("q"))
       .dropDuplicates("vec_id")
@@ -291,6 +302,121 @@ object Similarity {
         round(cosine(col("e"), col("q")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  def annTopKBandedStored(spark: SparkSession, emb: DataFrame, dir: String,
+      queryId: Long, k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
+    val tbl = storedSigTable(spark, emb, dir, planes, bands)
+    annProbeStored(spark, emb, Seq(tbl), queryId, k, planes, bands)
+  }
+
+  /** x255: the persisted banded signature index MAINTAINED BY A STREAM —
+    * r14 verdict #4: x252's serving index composed with x251's
+    * incremental idiom, the reference's unbounded-producer semantics
+    * (`/root/reference/src/pipeline/builder.rs:96-98`) feeding the index
+    * instead of a batch build. Embeddings arrive in microbatches; each
+    * batch APPENDS one bv-bucketed SEGMENT table
+    * (`graft_annseg_<key>_b<batchId>` — batchId-keyed, so a replayed
+    * batch overwrites its own segment, not doubles) and nothing is ever
+    * rebuilt: the LSM ingestion shape (per-ingest bucketed segments; a
+    * compactor would periodically fold segments exactly like x251's
+    * drain, plan unchanged). A completion marker table commits the build
+    * 2-phase, so a crashed half-built set is swept and re-streamed
+    * instead of silently served.
+    *
+    * A probe is x252's plan PER SEGMENT — bucket-pruned scan + broadcast
+    * probe join — unioned after pruning; at 100 TB the probe touches
+    * ~bands/2^bandBits of EACH segment and the arrival path touches only
+    * the new batch. Signatures are per-row deterministic, so
+    * union-of-segments ≡ the batch-built index and the probe SHARES
+    * x81's oracle verbatim.
+    */
+  def annTopKBandedStreamed(spark: SparkSession, emb: DataFrame,
+      dir: String, queryId: Long, k: Int, planes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val tbls = streamAnnSegments(spark, dir, planes, bands)
+    annProbeStored(spark, emb, tbls, queryId, k, planes, bands)
+  }
+
+  /** Staged embeddings stream: the embeddings parquet split into 4 files
+    * so `maxFilesPerTrigger=1` yields genuinely incremental microbatches
+    * (the docs/events stager idiom, embedding-shaped).
+    */
+  private def stagedEmbStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val srcPath = Paths.get(dir, "embeddings.parquet")
+    val stageKey = StoredTables.contentKey("embstream", dir,
+      Files.size(srcPath), Files.getLastModifiedTime(srcPath).toMillis)
+    val staged = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_embstream_$stageKey")
+    if (!Files.isDirectory(staged)) {
+      val tmp = Paths.get(staged.toString +
+        s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      spark.read.schema(schema).parquet(srcPath.toString)
+        .repartition(4).write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, staged,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.DirectoryNotEmptyException => () }
+    }
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged.toString)
+  }
+
+  /** Runs (or reuses — content-keyed, completion-marked) the streaming
+    * segment build; returns the segment table names, one per microbatch.
+    */
+  private[graft] def streamAnnSegments(spark: SparkSession, dir: String,
+      planes: Int, bands: Int): Seq[String] = {
+    val srcPath = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val key = StoredTables.contentKey("annseg", dir,
+      java.nio.file.Files.size(srcPath),
+      java.nio.file.Files.getLastModifiedTime(srcPath).toMillis,
+      planes, bands)
+    val segPrefix = s"graft_annseg_${key}_b"
+    val doneTbl = s"graft_annseg_${key}_zdone"
+    def segs(): Seq[String] = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(segPrefix)).sorted.toSeq
+    if (!spark.catalog.tableExists(doneTbl)) this.synchronized {
+      if (!spark.catalog.tableExists(doneTbl)) {
+        // Stale keys AND any partial (uncommitted) this-key segments
+        // leave before the stream — a half-built set must never be
+        // served or appended onto.
+        StoredTables.sweepStale(spark, "graft_annseg_", _ => false)
+        val q = stagedEmbStream(spark, dir)
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                batchId: Long) =>
+              // One bucketed segment per microbatch. coalesce(1): a demo
+              // microbatch is one staged file; production keeps task
+              // parallelism and gets (tasks × buckets) files per segment,
+              // which bucket pruning handles identically.
+              bandedSigs(hyperplaneSigs(spark,
+                  batch.select("vec_id", "embedding"), planes),
+                  planes, bands)
+                .coalesce(1)
+                .write.bucketBy(16, "bv").sortBy("bv", "band")
+                .mode("overwrite").saveAsTable(s"$segPrefix$batchId")
+              ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        require(segs().size >= 2,
+          s"expected >= 2 streamed segments, got ${segs().size}")
+        // Commit marker LAST (2-phase, the CollectorSink idiom): reuse
+        // only ever sees a complete build.
+        spark.range(1).toDF("ok")
+          .write.mode("overwrite").saveAsTable(doneTbl)
+      }
+    }
+    segs()
   }
 
   /** x253: [[annTopKMultiprobe]] served from the SAME persisted bucketed
@@ -768,19 +894,21 @@ object Similarity {
       iters: Int = 2, maxTrain: Int = 1024): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val srcPath = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val key = java.lang.Long.toHexString(java.util.Objects.hash(
+    // Full-width content key + stale-version sweep: see [[StoredTables]]
+    // (r14 advice #1 — collision-proof naming, bounded metastore growth,
+    // warehouse dir resolved from the session conf).
+    val key = StoredTables.contentKey(
       "ivf", dir, java.nio.file.Files.size(srcPath),
       java.nio.file.Files.getLastModifiedTime(srcPath).toMillis,
-      nlist, iters, maxTrain).toLong & 0xffffffffL)
+      nlist, iters, maxTrain)
     val (cellTbl, centTbl) = (s"graft_ivf_cells_$key", s"graft_ivf_cents_$key")
     if (!spark.catalog.tableExists(cellTbl) ||
         !spark.catalog.tableExists(centTbl)) this.synchronized {
       if (!spark.catalog.tableExists(cellTbl) ||
           !spark.catalog.tableExists(centTbl)) {
-        Seq(cellTbl, centTbl).foreach { t =>
-          org.apache.commons.io.FileUtils.deleteQuietly(
-            new java.io.File(s"spark-warehouse/$t"))
-        }
+        StoredTables.sweepStale(spark, "graft_ivf_cells_", _ == cellTbl)
+        StoredTables.sweepStale(spark, "graft_ivf_cents_", _ == centTbl)
+        Seq(cellTbl, centTbl).foreach(StoredTables.dropTable(spark, _))
         val vecs = KMeansLite.vectors(emb)
         val stepDF = vecs.agg(greatest(lit(1L),
           expr(s"(count(1) + ${maxTrain - 1}) div $maxTrain")).as("step"))
@@ -1204,6 +1332,16 @@ object Similarity {
       (s, dir) => annTopKMultiprobeStored(s, Tables.embeddings(s, dir),
         dir, 0L, RecallCert.k, RecallCert.planes, RecallCert.bands),
       Some(annMultiprobeSql)),
+
+    // x81 served from the STREAM-MAINTAINED segment index (one bucketed
+    // segment appended per microbatch, probe = union of bucket-pruned
+    // segment scans) — x81's oracle VERBATIM: arrival path and serving
+    // path may differ from the batch build, the answers may not.
+    QueryDef(
+      "x255_stream_ann_index",
+      (s, dir) => annTopKBandedStreamed(s, Tables.embeddings(s, dir),
+        dir, 0L, RecallCert.k, RecallCert.planes, RecallCert.bands),
+      Some(annBandedSql)),
 
     // Batched exact retrieval (5 probes, top-3 each) — one corpus pass
     // for the whole probe set; WindowGroupLimit prunes before the

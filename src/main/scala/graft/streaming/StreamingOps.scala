@@ -691,14 +691,28 @@ object StreamingOps {
     *  - edge store (a, b): verified near-dup pairs among survivors,
     *    accumulated; revoked endpoints filtered out on merge.
     *
-    * The corpus text itself is an APPEND-ONLY store (docs/b<batchId> per
-    * microbatch — batchId-keyed so a replayed microbatch overwrites, not
-    * doubles): candidate verification point-reads only candidate docs'
-    * text from it, exactly x137's "shingle only the candidates" shape.
-    * The per-batch state rewrite (filter revoked + union new) is the
-    * foreachBatch-MERGE pattern of [[streamingUpsertMv]]; a table format
-    * (Delta/Iceberg) would render it as MERGE + compaction instead of a
-    * generation swap, plan unchanged.
+    * The corpus text itself is a batchId-keyed store (docs/b<batchId> per
+    * microbatch — a replayed microbatch overwrites, not doubles):
+    * candidate verification point-reads only candidate docs' text from
+    * it, exactly x137's "shingle only the candidates" shape.
+    *
+    * State maintenance is DELTA GENERATIONS (r14 verdict #3 — the first
+    * rendering rewrote all three stores every microbatch, O(store) per
+    * batch and quadratic over a stream's life): each batch WRITES only
+    * its delta (delta/b<batchId>/{fp,sig,edge} — this batch's kept
+    * fingerprints, kept docs' signature rows, new verified edges), and
+    * READS state as union-of-prior-deltas minus revocations. Revocation
+    * needs no log: winners = min doc_id per fingerprint over the kept-fp
+    * deltas (the overall winner was kept by the batch it arrived in — it
+    * beat the then-winner), and a beaten doc can never win again, so
+    * "alive" is a semi-join against current winners. Per-batch WRITE cost
+    * is O(batch); the delta reads are id-sized parquet. At drain the
+    * deltas COMPACT into one generation — winners, alive signatures,
+    * alive edges, and the corpus text bounded to SURVIVING docs (r14
+    * verdict #5: the append-only text store otherwise grows forever;
+    * production would retain compact/ as the next ingest's base
+    * generation). This is MERGE-on-read + compaction, the table-format
+    * (Delta/Iceberg) lifecycle rendered on plain parquet.
     *
     * Drained ≡ batch: the final survivor set (fp winners minus cluster
     * losers over the drained edge store) is split-independent by x137's
@@ -709,49 +723,79 @@ object StreamingOps {
     * shares x137's from-scratch oracle VERBATIM
     * ([[graft.operators.IncrementalDedup.scratchOracleSql]]).
     */
+  /** Drain result + the store-accounting stats Round19Spec pins:
+    * `kept` counts docs written to the text store at their arrival batch,
+    * so `compactedDocs < kept` WITNESSES that compaction dropped a
+    * later-revoked doc's text (winners == compactedDocs is the bound).
+    */
+  case class IncDedupDrain(survivors: DataFrame, batches: Int,
+      winners: Long, compactedDocs: Long, kept: Long, arrivals: Long)
+
   def streamingIncrementalDedupWithStats(spark: SparkSession, dir: String,
-      threshold: Double = 0.8): (DataFrame, Int) =
+      threshold: Double = 0.8): IncDedupDrain =
     withStreamPartitions(spark) {
       import graft.operators.Dedup
       import java.nio.file.Files
       val runDir = Files.createTempDirectory("graft_incdedup_").toString
       val docsDir = s"$runDir/docs"
-      var cur: Option[String] = None
-      var batches = 0
+      val deltaDir = s"$runDir/delta"
+      // AtomicInteger/AtomicLong: foreachBatch runs on the microbatch
+      // thread, the drain tail reads on the caller thread (r14 advice #2 —
+      // visibility relied on incidental locking inside
+      // processAllAvailable/stop).
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val arrivals = new java.util.concurrent.atomic.AtomicLong(0L)
+      val keptTotal = new java.util.concurrent.atomic.AtomicLong(0L)
       def emptyDf(ddl: String) = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      // Union of delta generations b<i> with i < before (before < 0: all).
+      // Excluding the current batchId makes a replayed batch read exactly
+      // the pre-crash state — its own half-written delta is invisible,
+      // then overwritten (idempotence without a log).
+      def deltas(sub: String, ddl: String, before: Long): DataFrame = {
+        val parts = Option(new java.io.File(deltaDir).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("b") &&
+            (before < 0 || f.getName.drop(1).toLong < before))
+          .map(f => s"${f.getAbsolutePath}/$sub")
+        if (parts.isEmpty) emptyDf(ddl)
+        else spark.read.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          .parquet(parts.toSeq: _*)
+      }
+      val fpDdl = "fp STRING, doc_id BIGINT"
+      val sigDdl = "doc_id BIGINT, band INT, sig BIGINT"
+      val edgeDdl = "a BIGINT, b BIGINT"
       val q = stagedDocsStream(spark, dir)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          batches += 1
+          batches.incrementAndGet()
           val newDocs = batch.select("doc_id", "text").localCheckpoint()
-          val (fpOld, sigOld, edgeOld) = cur match {
-            case Some(p) => (spark.read.parquet(s"$p/fp"),
-              spark.read.parquet(s"$p/sig"), spark.read.parquet(s"$p/edge"))
-            case None => (emptyDf("fp STRING, doc_id BIGINT"),
-              emptyDf("doc_id BIGINT, band INT, sig BIGINT"),
-              emptyDf("a BIGINT, b BIGINT"))
-          }
-          // Merge fingerprints; revoke beaten winners; keep new winners.
-          val winners = fpOld
+          arrivals.addAndGet(newDocs.count())
+          val fpPrev = deltas("fp", fpDdl, batchId)
+          val sigPrev = deltas("sig", sigDdl, batchId)
+          // Winners incl. this batch = min doc_id per fp over kept-fp
+          // deltas ∪ this batch's fingerprints.
+          val winners = fpPrev
             .unionByName(newDocs.select(md5(col("text")).as("fp"),
               col("doc_id")))
             .groupBy("fp").agg(min("doc_id").as("doc_id"))
             .localCheckpoint()
           val winnerIds = winners.select("doc_id")
-          val revoked = fpOld.select("doc_id")
-            .join(winnerIds, Seq("doc_id"), "left_anti")
-            .localCheckpoint()
           val keptNew = newDocs.join(winnerIds, Seq("doc_id"), "left_semi")
-          // Append this batch's surviving docs to the corpus store FIRST:
+            .localCheckpoint()
+          keptTotal.addAndGet(keptNew.count())
+          // This batch's surviving docs land in the corpus store FIRST:
           // verification below point-reads candidate text from it.
           keptNew.write.mode("overwrite").parquet(s"$docsDir/b$batchId")
-          // New-side-only candidate join against the updated index.
+          // New-side-only candidate join: new sigs × (alive old ∪ new).
+          // "Alive" = semi-join current winners (revocation is permanent,
+          // so beaten docs drop out of the index without an explicit log).
           val sigsNew = Dedup.bandSignatures(keptNew).localCheckpoint()
-          val sigIndex = sigOld.join(revoked, Seq("doc_id"), "left_anti")
+          val sigAlive = sigPrev.join(winnerIds, Seq("doc_id"), "left_semi")
             .unionByName(sigsNew)
-          val cand = sigsNew.as("x").join(sigIndex.as("y"),
+          val cand = sigsNew.as("x").join(sigAlive.as("y"),
               col("x.band") === col("y.band") &&
                 col("x.sig") === col("y.sig") &&
                 col("x.doc_id") =!= col("y.doc_id"))
@@ -761,29 +805,58 @@ object StreamingOps {
           val corpus = spark.read.parquet(s"$docsDir/b*")
           val edgesNew = Dedup.verifyCandidates(corpus, cand, threshold)
             .select("a", "b")
-          val edges = edgeOld
-            .join(revoked.select(col("doc_id").as("a")), Seq("a"), "left_anti")
-            .join(revoked.select(col("doc_id").as("b")), Seq("b"), "left_anti")
-            .unionByName(edgesNew)
-          // Generation swap, batchId-keyed (idempotent on replay).
-          val next = s"$runDir/v$batchId"
-          winners.write.mode("overwrite").parquet(s"$next/fp")
-          sigIndex.write.mode("overwrite").parquet(s"$next/sig")
-          edges.write.mode("overwrite").parquet(s"$next/edge")
-          Seq(newDocs, winners, revoked, sigsNew)
+          // Delta write — O(this batch), batchId-keyed (replay overwrites).
+          val d = s"$deltaDir/b$batchId"
+          keptNew.select(md5(col("text")).as("fp"), col("doc_id"))
+            .write.mode("overwrite").parquet(s"$d/fp")
+          sigsNew.write.mode("overwrite").parquet(s"$d/sig")
+          edgesNew.write.mode("overwrite").parquet(s"$d/edge")
+          Seq(newDocs, winners, keptNew, sigsNew)
             .foreach(graft.QueryDef.dropCheckpoint)
-          cur = Some(next)
           ()
         }
         .start()
       q.processAllAvailable()
       q.stop()
-      val p = cur.getOrElse(sys.error("no microbatch ran"))
-      val losers = Dedup.dedupClusters(spark.read.parquet(s"$p/edge"))
+      val nb = batches.get()
+      require(nb > 0, "no microbatch ran")
+      // Drain: reconstruct final state from the deltas, then COMPACT.
+      val winners = deltas("fp", fpDdl, -1L)
+        .groupBy("fp").agg(min("doc_id").as("doc_id"))
+        .localCheckpoint()
+      val winnerIds = winners.select("doc_id")
+      val edgesAlive = deltas("edge", edgeDdl, -1L)
+        .join(winnerIds.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+        .join(winnerIds.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      val losers = Dedup.dedupClusters(edgesAlive)
         .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-      (spark.read.parquet(s"$p/fp").select("doc_id")
+      val survivors = winnerIds
         .join(losers, Seq("doc_id"), "left_anti")
-        .orderBy("doc_id"), batches)
+        .localCheckpoint()
+      // Compaction: one generation holding exactly the live state — the
+      // corpus text store shrinks to the current winners (docs beaten
+      // after arrival leave with their revocation), spec-asserted
+      // compactedDocs == winners in Round19Spec.
+      val compactDir = s"$runDir/compact"
+      winners.write.mode("overwrite").parquet(s"$compactDir/fp")
+      deltas("sig", sigDdl, -1L)
+        .join(winnerIds, Seq("doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(s"$compactDir/sig")
+      edgesAlive.write.mode("overwrite").parquet(s"$compactDir/edge")
+      spark.read.parquet(s"$docsDir/b*")
+        .join(winnerIds, Seq("doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(s"$compactDir/docs")
+      val nWinners = winners.count()
+      val nCompactDocs = spark.read.parquet(s"$compactDir/docs").count()
+      graft.QueryDef.dropCheckpoint(winners)
+      // The run's scratch space (staged deltas + compacted generation) is
+      // deleted once the survivor set is materialized — Bench runs this
+      // query 3+ times per round and a ~corpus-sized temp dir per run
+      // accumulated in /tmp (r14 advice #2). Production retains compact/.
+      val out = survivors.orderBy("doc_id")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(runDir))
+      IncDedupDrain(out, nb, nWinners, nCompactDocs, keptTotal.get(),
+        arrivals.get())
     }
 
   /** x244: streaming histogram quantiles — x243's 32-bucket per-type
@@ -1858,7 +1931,7 @@ object StreamingOps {
 
     QueryDef(
       "x251_stream_incremental_dedup",
-      (s, dir) => streamingIncrementalDedupWithStats(s, dir)._1,
+      (s, dir) => streamingIncrementalDedupWithStats(s, dir).survivors,
       // x137's from-scratch oracle VERBATIM: the drained parquet-backed
       // state must yield the same survivors as a full rebuild — the
       // incremental-≡-scratch construction, now per microbatch.

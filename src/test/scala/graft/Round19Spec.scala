@@ -225,12 +225,12 @@ class Round19Spec extends SparkSuite {
   }
 
   test("x251: drained streaming state equals the batch rebuild; >= 2 microbatches ran") {
-    val (df, batches) = graft.streaming.StreamingOps
+    val drain = graft.streaming.StreamingOps
       .streamingIncrementalDedupWithStats(spark, sfDir)
-    val streamed = df.collect().map(_.getLong(0)).toSeq
-    assert(batches >= 2,
-      s"only $batches microbatch(es) — the incremental state machine was " +
-        "never exercised across batches")
+    val streamed = drain.survivors.collect().map(_.getLong(0)).toSeq
+    assert(drain.batches >= 2,
+      s"only ${drain.batches} microbatch(es) — the incremental state " +
+        "machine was never exercised across batches")
     val scratch = graft.operators.IncrementalDedup
       .scratchSurvivors(Tables.documents(spark, sfDir), 0.8)
       .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
@@ -238,6 +238,54 @@ class Round19Spec extends SparkSuite {
     assert(streamed == scratch,
       s"drained survivors (${streamed.size}) differ from the from-scratch " +
         s"rebuild (${scratch.size})")
+    // r14 verdict #5: the compacted corpus text store is bounded by the
+    // CURRENT winners. (The sf fixture has no exact dups, so revocation
+    // itself is exercised by the planted-dup test below.)
+    assert(drain.compactedDocs == drain.winners,
+      s"compacted docs store has ${drain.compactedDocs} rows for " +
+        s"${drain.winners} winners — compaction kept revoked docs' text")
+  }
+
+  test("x251 revocation: compaction drops a later-revoked doc's text from the store") {
+    // Planted-dup corpus: 24 distinct-text docs plus 8 exact-dup pairs
+    // (i, 1000+i) — texts are deterministic word sequences with disjoint
+    // vocabularies, so the ONLY dedup signal is the exact fingerprint.
+    // The stager hash-splits doc ids over 4 files, so across 8 pairs some
+    // pair lands with the LARGER id in an earlier microbatch — its kept
+    // text is revoked when the smaller id arrives, which is exactly the
+    // store-growth case compaction exists for; `kept > winners` WITNESSES
+    // that it happened (deterministic: the staging is content-keyed).
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val fixDir = Paths.get("target", "graft_x251_fixture")
+    if (!Files.isDirectory(fixDir.resolve("documents.parquet"))) {
+      def text(seed: Long): String =
+        (0 until 30).map(w => s"w${seed}x$w").mkString(" ")
+      val base = (0L until 24L).map(i => (i, text(i)))
+      val dups = (0L until 8L).map(i => (1000L + i, text(i * 3)))
+      val rows = (base ++ dups).map { case (id, t) =>
+        (id, t, "en", s"src${id % 3}", t.length.toLong)
+      }
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(fixDir.resolve("documents.parquet").toString)
+    }
+    val drain = graft.streaming.StreamingOps
+      .streamingIncrementalDedupWithStats(spark, fixDir.toString)
+    assert(drain.batches >= 2, s"only ${drain.batches} microbatch(es)")
+    assert(drain.winners == 24 && drain.arrivals == 32,
+      s"expected 24 winners of 32 arrivals, got ${drain.winners} of " +
+        s"${drain.arrivals} — exact dedup broke on the planted fixture")
+    assert(drain.kept > drain.winners,
+      s"kept (${drain.kept}) == winners (${drain.winners}) — no doc was " +
+        "revoked after arrival; the fixture failed to exercise revocation")
+    assert(drain.compactedDocs == drain.winners,
+      s"compacted store has ${drain.compactedDocs} rows for " +
+        s"${drain.winners} winners — revoked docs' text survived compaction")
+    val survivors = drain.survivors.collect().map(_.getLong(0)).toSeq
+    assert(survivors == (0L until 24L),
+      s"survivors $survivors != the 24 base docs — a dup pair's winner " +
+        "was mis-elected or a distinct doc was dropped")
   }
 
   test("x252: stored bucketed index answers == in-memory route; bucket pruning live") {
