@@ -416,6 +416,16 @@ object PlanAudit {
           .forall(m => m.group(1).toInt < m.group(2).toInt) &&
         p.contains("BroadcastHashJoin") &&
         !p.contains("Exchange hashpartitioning(bv"))
+    check("x256_ann_segment_compact",
+      "compacted probe pays exactly ONE bucket-pruned scan (read amplification folded away)",
+      p => "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+          // final plan only: AQE appends an "Initial Plan" duplicate
+          .findAllMatchIn(p.split("Initial Plan").head).toSeq match {
+        case Seq(m) => m.group(1).toInt < m.group(2).toInt &&
+          p.contains("BroadcastHashJoin") &&
+          !p.contains("Exchange hashpartitioning(bv")
+        case _ => false
+      })
 
     // ---- round-7: the two r6-verdict scale sores, now window-free -------
     check("x151_rfm", "sampled cutpoints broadcast; NO window anywhere",

@@ -338,6 +338,40 @@ object Similarity {
     annProbeStored(spark, emb, tbls, queryId, k, planes, bands)
   }
 
+  /** x256: SEGMENT COMPACTION — the third verb of the x255 LSM lifecycle
+    * (x255 ingests one bucketed segment per microbatch; x252 serves a
+    * single-table index; this folds the accumulated segments INTO that
+    * single-table shape). One union of the segment scans re-bucketed by
+    * the SAME (bv) spec into one table; the probe then pays ONE pruned
+    * scan instead of one per segment — the read-amplification knob every
+    * LSM store turns. Compaction is content-keyed and write-once like
+    * every stored index here, and the folded table answers EXACTLY what
+    * the segment union answers (same rows, same probe plan semantics) →
+    * shares x81's oracle verbatim, and Round20Spec pins folded ≡
+    * segmented ≡ in-memory plus single-scan pruning.
+    */
+  def annSegmentsCompacted(spark: SparkSession, emb: DataFrame,
+      dir: String, queryId: Long, k: Int, planes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val segs = streamAnnSegments(spark, dir, planes, bands)
+    val srcPath = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val key = StoredTables.contentKey("anncpt", dir,
+      java.nio.file.Files.size(srcPath),
+      java.nio.file.Files.getLastModifiedTime(srcPath).toMillis,
+      planes, bands)
+    val tbl = s"graft_anncpt_$key"
+    if (!spark.catalog.tableExists(tbl)) this.synchronized {
+      if (!spark.catalog.tableExists(tbl)) {
+        StoredTables.sweepStale(spark, "graft_anncpt_", _ == tbl)
+        StoredTables.dropTable(spark, tbl)
+        segs.map(spark.table).reduce(_.unionByName(_))
+          .write.bucketBy(16, "bv").sortBy("bv", "band")
+          .mode("overwrite").saveAsTable(tbl)
+      }
+    }
+    annProbeStored(spark, emb, Seq(tbl), queryId, k, planes, bands)
+  }
+
   /** Staged embeddings stream: the embeddings parquet split into 4 files
     * so `maxFilesPerTrigger=1` yields genuinely incremental microbatches
     * (the docs/events stager idiom, embedding-shaped).
@@ -1340,6 +1374,15 @@ object Similarity {
     QueryDef(
       "x255_stream_ann_index",
       (s, dir) => annTopKBandedStreamed(s, Tables.embeddings(s, dir),
+        dir, 0L, RecallCert.k, RecallCert.planes, RecallCert.bands),
+      Some(annBandedSql)),
+
+    // x255's segments FOLDED into one bucketed table (LSM compaction) —
+    // probe pays one pruned scan instead of one per segment; x81's
+    // oracle VERBATIM (compaction must not change a single answer).
+    QueryDef(
+      "x256_ann_segment_compact",
+      (s, dir) => annSegmentsCompacted(s, Tables.embeddings(s, dir),
         dir, 0L, RecallCert.k, RecallCert.planes, RecallCert.bands),
       Some(annBandedSql)),
 

@@ -29,7 +29,10 @@ class Round20Spec extends SparkSuite {
       s"only ${segs.length} segment table(s) — the index was not " +
         "maintained across microbatches")
 
+    // AQE's executedPlan string appends an "Initial Plan" rendering —
+    // count scans in the FINAL plan only.
     val plan = streamed.queryExecution.executedPlan.toString
+      .split("Initial Plan").head
     val prunes = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
       .findAllMatchIn(plan).toSeq
     assert(prunes.size >= 2,
@@ -50,5 +53,38 @@ class Round20Spec extends SparkSuite {
     assert(again == mem, "reused segment index diverges")
     assert(segsAgain.sorted.toSeq == segs.sorted.toSeq,
       "the second probe changed the segment set — reuse re-streamed")
+  }
+
+  test("x256: compaction folds the segments losslessly; probe pays ONE pruned scan") {
+    val emb = Tables.embeddings(spark, sfDir)
+    graft.operators.StoredTables.sweepStale(spark, "graft_anncpt_", _ => false)
+    val folded = graft.operators.Similarity
+      .annSegmentsCompacted(spark, emb, sfDir, 0L, 10)
+    val got = folded.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mem = graft.operators.Similarity.annTopKBanded(spark, emb, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty && got == mem,
+      "compacted index diverges from the in-memory route")
+    // Lossless fold: compacted table rows == sum over segment tables.
+    val segs = spark.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith("graft_annseg_") && n.contains("_b"))
+    val cpt = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_anncpt_"))
+    assert(cpt.length == 1, s"expected one compacted table, got ${cpt.length}")
+    val segRows = segs.map(t => spark.table(t).count()).sum
+    assert(spark.table(cpt.head).count() == segRows,
+      "compaction changed the index row count — the fold is not lossless")
+    // Read amplification: ONE bucket-pruned scan, not one per segment
+    // (final plan only — AQE appends an "Initial Plan" duplicate).
+    val plan = folded.queryExecution.executedPlan.toString
+      .split("Initial Plan").head
+    val prunes = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).toSeq
+    assert(prunes.size == 1,
+      s"expected exactly one pruned scan after compaction, found " +
+        s"${prunes.size}")
+    assert(prunes.head.group(1).toInt < prunes.head.group(2).toInt,
+      s"compacted scan selected all buckets: ${prunes.head.group(0)}")
   }
 }
