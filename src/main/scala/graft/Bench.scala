@@ -90,7 +90,7 @@ object Bench {
       }
       math.min(once, once)
     }
-    def calibrate(): (Double, Double) = {
+    def calibrate(): (Double, Double, Double) = {
       val cpu = timeCal {
         spark.range(0L, 1500000000L, 1L, cpus)
           .selectExpr("bit_xor(xxhash64(id)) AS s")
@@ -101,9 +101,26 @@ object Bench {
           .selectExpr("bit_xor(xxhash64(l_orderkey, l_extendedprice, l_returnflag)) AS s")
           .write.mode("overwrite").format("noop").save()
       }
-      (cpu, io)
+      // WRITE probe (added after the r15 first official-shaped run): a
+      // ~60 MB parquet write + commit. The cpu probe and the PAGE-CACHED
+      // read probe are both blind to disk-WRITE contention — the r15 run
+      // read quiet on both while fsync-heavy streaming state commits
+      // inflated 10-19x and the batch tail 1.3-1.5x (sum 2.12x). This is
+      // the co-tenancy mode that actually hits the suite hardest (every
+      // microbatch commit, every shuffle spill, every stored-index build
+      // writes), so the noisy tag must see it.
+      val wrDir = java.nio.file.Files
+        .createTempDirectory("graft_calwr_").toString
+      val wr = timeCal {
+        spark.range(0L, 4000000L, 1L, cpus)
+          .selectExpr("id", "cast(id % 9973 as string) AS s",
+            "id * 2654435761 AS h")
+          .write.mode("overwrite").parquet(wrDir)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wrDir))
+      (cpu, io, wr)
     }
-    val (calCpu, calIo) = calibrate()
+    val (calCpu, calIo, calWr) = calibrate()
     // Quiet-window references, measured on this host (min-of-2 after
     // warmup, idle box, r14); env-OVERRIDABLE (r14 advice #4) so a
     // hardware/image change doesn't freeze the basis forever — and a
@@ -116,9 +133,15 @@ object Bench {
       .map(_.toDouble).getOrElse(0.55)
     val CalRefIo = sys.env.get("SPARK_GRAFT_CAL_REF_IO")
       .map(_.toDouble).getOrElse(0.42)
+    // Write-probe reference: measured on this host right after the
+    // contended window that motivated the probe had passed (r15:
+    // min-of-2 readings 0.42-0.52 s with cpu/io both under their quiet
+    // refs). Env-overridable like the other two.
+    val CalRefWr = sys.env.get("SPARK_GRAFT_CAL_REF_WR")
+      .map(_.toDouble).getOrElse(0.50)
     val isOfficialSf = new java.io.File(sfDir).getName == "sf0.1"
-    def hot(cpu: Double, io: Double): Boolean =
-      cpu > 1.3 * CalRefCpu || io > 1.3 * CalRefIo
+    def hot(cpu: Double, io: Double, wr: Double): Boolean =
+      cpu > 1.3 * CalRefCpu || io > 1.3 * CalRefIo || wr > 1.3 * CalRefWr
     if (isOfficialSf && calCpu < 0.6 * CalRefCpu && calIo < 0.6 * CalRefIo)
       System.err.println(f"[bench] WARNING calibration refs look STALE: " +
         f"probes cpu $calCpu%.2fs io $calIo%.2fs read far below refs " +
@@ -214,7 +237,7 @@ object Bench {
     val timings = new scala.collection.concurrent.TrieMap[String, Double]()
     val isolatedAcc =
       new scala.collection.concurrent.TrieMap[String, (Double, Boolean)]()
-    @volatile var calEndOpt: Option[(Double, Double)] = None
+    @volatile var calEndOpt: Option[(Double, Double, Double)] = None
     @volatile var warmupSkipped = 0
     @volatile var pass2Skipped = 0
     @volatile var isoSkipped = 0
@@ -236,15 +259,16 @@ object Bench {
       val isolated: Seq[(String, Double, Boolean)] =
         isolatedAcc.toSeq.sortBy(_._1)
           .map { case (n, (v, adj)) => (n, v, adj) }
-      val noisy = isOfficialSf && (hot(calCpu, calIo) ||
-        calEndOpt.exists { case (c, i) => hot(c, i) })
+      val noisy = isOfficialSf && (hot(calCpu, calIo, calWr) ||
+        calEndOpt.exists { case (c, i, w) => hot(c, i, w) })
       if (noisy && !partial)
         System.err.println(f"[bench] WARNING calibration noisy: start cpu " +
-          f"$calCpu%.2fs io $calIo%.2fs, end " +
-          calEndOpt.map { case (c, i) => f"cpu $c%.2fs io $i%.2fs" }
+          f"$calCpu%.2fs io $calIo%.2fs wr $calWr%.2fs, end " +
+          calEndOpt.map { case (c, i, w) =>
+            f"cpu $c%.2fs io $i%.2fs wr $w%.2fs" }
             .getOrElse("(not run)") +
-          f" (refs $CalRefCpu%.2f/$CalRefIo%.2f, bar 1.3x) — " +
-          "record tagged; drift basis for next rounds should skip it")
+          f" (refs $CalRefCpu%.2f/$CalRefIo%.2f/$CalRefWr%.2f, bar 1.3x)" +
+          " — record tagged; drift basis for next rounds should skip it")
       val total = results.map(_._2).filter(_ >= 0).sum
 
       // --- suite-level drift gate (r11 verdict #5): the common-query sum
@@ -276,10 +300,11 @@ object Bench {
         .mkString("{", ",", "}")
       val driftFull = commonDrift.map("," + _).getOrElse("")
       val calEndStr = calEndOpt
-        .map { case (c, i) => s""","cpu_end":${ms(c)},"io_end":${ms(i)}""" }
+        .map { case (c, i, w) =>
+          s""","cpu_end":${ms(c)},"io_end":${ms(i)},"wr_end":${ms(w)}""" }
         .getOrElse("")
       val calFull =
-        s""","calibration":{"cpu":${ms(calCpu)},"io":${ms(calIo)}$calEndStr,"ref_cpu":$CalRefCpu,"ref_io":$CalRefIo,"noisy":$noisy}"""
+        s""","calibration":{"cpu":${ms(calCpu)},"io":${ms(calIo)},"wr":${ms(calWr)}$calEndStr,"ref_cpu":$CalRefCpu,"ref_io":$CalRefIo,"ref_wr":$CalRefWr,"noisy":$noisy}"""
       // Budget accounting rides the full record so a truncated round is
       // diagnosable from the committed JSON alone.
       val budgetFull =
@@ -363,7 +388,7 @@ object Bench {
           (if (truncated) ""","trunc":true""" else "") +
           (if (commonDrift.exists(_.contains("\"alarm\":true")))
             ""","drift_alarm":true""" else "") +
-          s""","cal":{"cpu":${cs(calCpu)},"io":${cs(calIo)}}""" +
+          s""","cal":{"cpu":${cs(calCpu)},"io":${cs(calIo)},"wr":${cs(calWr)}}""" +
           (if (noisy) ""","noisy":true""" else "")
       val withIsoLine = shortLine(results, driftNote, withIso = true)
       val noIsoLine = shortLine(results, driftNote, withIso = false)
