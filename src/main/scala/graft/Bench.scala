@@ -419,7 +419,15 @@ object Bench {
     // ---- phase 1: warmup (JIT + codegen caches). Deadline-skippable:
     // min-of-2 absorbs most cold-start noise for whatever tail goes
     // unwarmed, and a complete timed record outranks warm numbers.
-    names.foreach { n =>
+    // MOST-EXPENSIVE-FIRST (post-r15-run-2): under truncation the
+    // alphabetical order left the late-name stored-index queries cold,
+    // so their timed pass recorded one-time BUILD cost (x255 read 21.9 s
+    // where the warm probe is sub-second) — a plan distortion, not a
+    // timing one. Expensive-first makes truncation cost the SUB-SECOND
+    // tail its warmup (+0.2-0.5 s each, bounded), never a build.
+    // Basis-blind (new) queries warm FIRST: unknown cost may include a
+    // one-time index build, exactly what must not slip into pass 1.
+    names.sortBy(n => -basisTime(n).getOrElse(1e9)).foreach { n =>
       if (remainingSec < 0.60 * deadlineSec) warmupSkipped += 1
       else run(n)
     }
