@@ -427,9 +427,25 @@ object Bench {
     // tail its warmup (+0.2-0.5 s each, bounded), never a build.
     // Basis-blind (new) queries warm FIRST: unknown cost may include a
     // one-time index build, exactly what must not slip into pass 1.
+    // Besides the fixed 40%-of-budget cap, warmup also stops when the
+    // PROJECTED pass-1 cost (suite basis sum × the inflation this very
+    // warmup is observing, discounted by warmup's inherent ~1.25
+    // cold-start factor) no longer fits the remaining budget — under the
+    // r15 2.3× write-contention runs this trades ~2 min of tail warmup
+    // for pass 1 landing inside the deadline; on a quiet host the
+    // projection never binds (pass-1 projection ≈ 380 s against a
+    // ~840 s remainder at the point it could first fire).
+    val basisSumAll = names.map(n => basisTime(n).getOrElse(1.0)).sum
+    val warmupStart = elapsedSec
+    var warmedBasis = 0.0
     names.sortBy(n => -basisTime(n).getOrElse(1e9)).foreach { n =>
-      if (remainingSec < 0.60 * deadlineSec) warmupSkipped += 1
-      else run(n)
+      val infl =
+        if (warmedBasis < 15) 1.0
+        else math.min(4.0, math.max(1.0,
+          (elapsedSec - warmupStart) / warmedBasis / 1.25))
+      if (remainingSec < 0.60 * deadlineSec ||
+          remainingSec < 1.1 * basisSumAll * infl) warmupSkipped += 1
+      else { run(n); warmedBasis += basisTime(n).getOrElse(1.0) }
     }
     // ---- phase 2: timed pass 1 — unconditional: the official per-query
     // map must be complete (a record missing queries fails the round no
@@ -506,7 +522,9 @@ object Bench {
     // block manager, broadcast blocks, and listener queues; the JIT and
     // the JVM-global codegen cache survive, so the fresh session still
     // measures warm code (min-of-2 absorbs the rest).
-    if (toIsolate.nonEmpty) {
+    // Don't pay the ~10-15 s fresh-session restart when no entry can fit
+    // the remaining budget anyway (r15 run 2 restarted at -90 s).
+    if (toIsolate.nonEmpty && remainingSec > 60) {
       spark.stop()
       System.gc()
       spark = Sessions.local(cpus)
@@ -522,7 +540,7 @@ object Bench {
           isolatedAcc.put(n, (math.min(run(n), run(n)), adjudicating))
         }
       }
-    }
+    } else isoSkipped += toIsolate.size
     if (isoSkipped > 0)
       System.err.println(s"[bench] deadline: skipped $isoSkipped isolated " +
         s"entries (${ms(remainingSec)}s of budget left)")
