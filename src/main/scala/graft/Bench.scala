@@ -435,17 +435,29 @@ object Bench {
     // for pass 1 landing inside the deadline; on a quiet host the
     // projection never binds (pass-1 projection ≈ 380 s against a
     // ~840 s remainder at the point it could first fire).
+    // The inflation estimate accumulates over basis-KNOWN queries only:
+    // basis-blind (new) queries warm first and may pay one-time index
+    // builds — crediting them 1 s of basis while `spent` carries their
+    // 10-20 s builds drove the estimate to the cap on r15 run 3 and
+    // killed ALL remaining warmup (warmup_skipped=266) on a host the
+    // isolated column read as merely ~1.4x contended.
     val basisSumAll = names.map(n => basisTime(n).getOrElse(1.0)).sum
-    val warmupStart = elapsedSec
     var warmedBasis = 0.0
+    var warmedSpent = 0.0
     names.sortBy(n => -basisTime(n).getOrElse(1e9)).foreach { n =>
       val infl =
         if (warmedBasis < 15) 1.0
-        else math.min(4.0, math.max(1.0,
-          (elapsedSec - warmupStart) / warmedBasis / 1.25))
+        else math.min(4.0, math.max(1.0, warmedSpent / warmedBasis / 1.25))
       if (remainingSec < 0.60 * deadlineSec ||
           remainingSec < 1.1 * basisSumAll * infl) warmupSkipped += 1
-      else { run(n); warmedBasis += basisTime(n).getOrElse(1.0) }
+      else {
+        val t0 = elapsedSec
+        run(n)
+        basisTime(n).foreach { bt =>
+          warmedBasis += bt
+          warmedSpent += elapsedSec - t0
+        }
+      }
     }
     // ---- phase 2: timed pass 1 — unconditional: the official per-query
     // map must be complete (a record missing queries fails the round no
