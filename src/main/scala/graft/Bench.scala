@@ -142,11 +142,19 @@ object Bench {
     val isOfficialSf = new java.io.File(sfDir).getName == "sf0.1"
     def hot(cpu: Double, io: Double, wr: Double): Boolean =
       cpu > 1.3 * CalRefCpu || io > 1.3 * CalRefIo || wr > 1.3 * CalRefWr
-    if (isOfficialSf && calCpu < 0.6 * CalRefCpu && calIo < 0.6 * CalRefIo)
+    // Stale-ref warning covers ALL THREE probes (r15 verdict #7: a
+    // hardware change read only off cpu/io could silently blind the new
+    // write instrument): any two probes far below their refs is the
+    // hardware-got-faster signal.
+    val staleProbes = Seq(
+      ("cpu", calCpu, CalRefCpu), ("io", calIo, CalRefIo),
+      ("wr", calWr, CalRefWr)).filter { case (_, v, ref) => v < 0.6 * ref }
+    if (isOfficialSf && staleProbes.size >= 2)
       System.err.println(f"[bench] WARNING calibration refs look STALE: " +
-        f"probes cpu $calCpu%.2fs io $calIo%.2fs read far below refs " +
-        f"$CalRefCpu%.2f/$CalRefIo%.2f — re-measure the quiet-window refs " +
-        "(SPARK_GRAFT_CAL_REF_CPU/IO) for this host")
+        staleProbes.map { case (n, v, ref) =>
+          f"$n $v%.2fs (ref $ref%.2f)" }.mkString(", ") +
+        " read far below refs — re-measure the quiet-window refs " +
+        "(SPARK_GRAFT_CAL_REF_{CPU,IO,WR}) for this host")
 
     // Optional comma-separated name filter — local isolation experiments
     // only (the driver never sets it, so per-round numbers stay full-set).
@@ -237,7 +245,13 @@ object Bench {
     val timings = new scala.collection.concurrent.TrieMap[String, Double]()
     val isolatedAcc =
       new scala.collection.concurrent.TrieMap[String, (Double, Boolean)]()
+    // Names whose warmup was deadline-skipped — their pass-1 number ran
+    // COLD and may carry one-time JIT/codegen cost (r15 verdict #3: a
+    // reader must be able to tell "156x because first-ever execution"
+    // from "156x regression" without the basis map).
+    val coldNames = new scala.collection.concurrent.TrieMap[String, Unit]()
     @volatile var calEndOpt: Option[(Double, Double, Double)] = None
+    @volatile var prebuildSec = 0.0
     @volatile var warmupSkipped = 0
     @volatile var pass2Skipped = 0
     @volatile var isoSkipped = 0
@@ -306,9 +320,15 @@ object Bench {
       val calFull =
         s""","calibration":{"cpu":${ms(calCpu)},"io":${ms(calIo)},"wr":${ms(calWr)}$calEndStr,"ref_cpu":$CalRefCpu,"ref_io":$CalRefIo,"ref_wr":$CalRefWr,"noisy":$noisy}"""
       // Budget accounting rides the full record so a truncated round is
-      // diagnosable from the committed JSON alone.
+      // diagnosable from the committed JSON alone. "cold" names the
+      // queries whose timed pass ran without warmup (r15 verdict #3) —
+      // full record only; the stdout line carries warmup_skipped.
+      val coldFull =
+        if (coldNames.isEmpty) ""
+        else coldNames.keys.toSeq.sorted
+          .map(n => "\"" + outId(n) + "\"").mkString(""","cold":[""", ",", "]")
       val budgetFull =
-        s""","budget":{"deadline":${deadlineSec.toInt},"elapsed":${ms(elapsedSec)},"warmup_skipped":$warmupSkipped,"pass2_skipped":$pass2Skipped,"iso_skipped":$isoSkipped${if (driftedSampledNote.nonEmpty) s""","drifted_sampled":"$driftedSampledNote"""" else ""}}"""
+        s""","budget":{"deadline":${deadlineSec.toInt},"elapsed":${ms(elapsedSec)},"prebuild":${ms(prebuildSec)},"warmup_skipped":$warmupSkipped,"pass2_skipped":$pass2Skipped,"iso_skipped":$isoSkipped${if (driftedSampledNote.nonEmpty) s""","drifted_sampled":"$driftedSampledNote"""" else ""}$coldFull}"""
       val partialFull = if (partial) ""","partial":true""" else ""
       val json =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoFull$driftFull$calFull$budgetFull$partialFull,"sf":"$sfDir"}"""
@@ -338,15 +358,35 @@ object Bench {
             m.group(2).toDouble <= 1.05 * m.group(1).toDouble
           }
         }
-        if (!noisy && !alarmed && nearFlat) {
-          val basisQs = results
-            .map { case (k, v) => "\"" + outId(k) + "\":" + ms(v) }
+        val stamp = java.time.Instant.now().toString
+        def writeBasis(entries: Seq[(String, Double)], note: String): Unit = {
+          val basisQs = entries
+            .map { case (k, v) => "\"" + k + "\":" + ms(v) }
             .mkString("{", ",", "}")
+          val tot = ms(entries.map(_._2).sum)
           val basisJson =
-            s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$basisQs$calFull,"sf":"sf0.1"}"""
+            s"""{"metric":"total","value":$tot,"unit":"sec","basis_note":"$note","queries":$basisQs$calFull,"sf":"sf0.1"}"""
           java.nio.file.Files.write(
             java.nio.file.Paths.get("BENCH_BASIS.json"),
             basisJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        val okEntries = results.filter(_._2 >= 0)
+          .map { case (k, v) => outId(k) -> v }
+        if (!noisy && !alarmed && nearFlat)
+          writeBasis(okEntries, s"full quiet run $stamp")
+        else if (!noisy && !alarmed) {
+          // Quiet probes, no alarm, but not near-flat (1.05-1.25x band):
+          // the existing basis entries stand (the r14-measured ratchet
+          // guard), but BASIS-BLIND queries get SEEDED from this run —
+          // r15 verdict #2: x250-x256 stayed basis-blind for two rounds,
+          // which blinded the warmup estimator and made their driver-
+          // record numbers unadjudicable. A mildly-inflated seed beats
+          // no seed and is replaced by the next genuinely-flat run.
+          val missing = okEntries.filterNot { case (k, _) =>
+            priorTimes.contains(k) }
+          if (missing.nonEmpty)
+            writeBasis(priorTimes.toSeq.sortBy(_._1) ++ missing,
+              s"merged ${missing.size} new-query entries from run $stamp")
         }
       }
       def shortLine(rs: Seq[(String, Double)], note: String,
@@ -441,6 +481,15 @@ object Bench {
     // 10-20 s builds drove the estimate to the cap on r15 run 3 and
     // killed ALL remaining warmup (warmup_skipped=266) on a host the
     // isolated column read as merely ~1.4x contended.
+    // ---- phase 0: PREBUILD (r15 verdict #5) — one-time staged fixtures,
+    // persisted index builds, and the shared graph derivation run as
+    // SETUP, counted in the budget's own field, so a deadline-truncated
+    // warmup can no longer leave a one-time build riding a timed pass-1
+    // number (r15's driver record read x255 at 21.9 s, warm probe <1 s).
+    // Idempotent + content-keyed: with the cross-JVM adoption in
+    // StoredTables this costs seconds after the first-ever run.
+    if (only.isEmpty) prebuildSec = Prebuild.run(spark, sfDir)
+
     val basisSumAll = names.map(n => basisTime(n).getOrElse(1.0)).sum
     var warmedBasis = 0.0
     var warmedSpent = 0.0
@@ -449,7 +498,10 @@ object Bench {
         if (warmedBasis < 15) 1.0
         else math.min(4.0, math.max(1.0, warmedSpent / warmedBasis / 1.25))
       if (remainingSec < 0.60 * deadlineSec ||
-          remainingSec < 1.1 * basisSumAll * infl) warmupSkipped += 1
+          remainingSec < 1.1 * basisSumAll * infl) {
+        warmupSkipped += 1
+        coldNames.put(n, ())
+      }
       else {
         val t0 = elapsedSec
         run(n)
@@ -469,12 +521,39 @@ object Bench {
     // (GC/compilation stragglers), which is what min-of-2 exists for.
     // Sub-second queries keep their pass-1 number. Failures always get
     // the retry. Isolation experiments (ONLY set) keep full min-of-2.
+    // ---- isolated-adjudication FLOOR (r15 verdict #4): in the r15
+    // driver run the adjudication column vanished exactly when needed
+    // (iso_skipped 15, isolated {}) because pass 2 spent the budget
+    // first and each entry's cost estimate — 3x its co-tenancy-INFLATED
+    // in-suite time — priced every entry out. The floor is the pins plus
+    // the top-2 drifted-by-ratio queries (≤3 entries), costed from their
+    // BASIS time; pass 2 degrades BEFORE it, and floor entries get a
+    // bounded overrun allowance past the deadline.
+    val pinnedIsolated = Set("x137_incremental_dedup")
+    val floorNames: Vector[String] = if (only.nonEmpty) Vector.empty else {
+      val driftedByRatio = names.collect {
+        case n if timings.get(n).exists(v => basisTime(n).exists(p =>
+          p >= 0.05 && v > 1.5 * p && v - p > 0.1)) =>
+          n -> (timings(n) / basisTime(n).get)
+      }.sortBy(-_._2).map(_._1)
+      (names.filter(pinnedIsolated) ++
+        driftedByRatio.filterNot(pinnedIsolated)).take(3).toVector
+    }
+    def isoEst(n: String): Double =
+      3 * math.max(0.0,
+        basisTime(n).getOrElse(timings.getOrElse(n, 1.0))) + 5
+    val floorCost =
+      if (floorNames.isEmpty) 0.0 else floorNames.map(isoEst).sum + 50
+    val isoFloorOverrun = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_ISO_FLOOR_OVERRUN", "180").toDouble
+
     val pass2Names = names.filter { n =>
       val p1 = timings.getOrElse(n, -1.0)
       p1 < 0 || only.nonEmpty || basisTime(n).getOrElse(p1) >= 1.0
     }
     pass2Names.foreach { n =>
-      if (remainingSec < 0.18 * deadlineSec) pass2Skipped += 1
+      if (remainingSec < math.max(0.18 * deadlineSec, floorCost))
+        pass2Skipped += 1
       else merge(n, run(n))
     }
     // END-of-suite calibration (r14): the start probe alone missed a
@@ -494,10 +573,10 @@ object Bench {
     // verdict #7). Ordered most-informative-first so a deadline skip
     // loses the least.
     val results1 = names.filter(timings.contains).map(n => n -> timings(n))
-    // x137 is pinned: its r6 in-suite time (28.1 s) was 4x its isolated
-    // time and the verdict asked for the gap to be pinned down IN the
-    // official record each round, not presumed co-tenancy.
-    val pinnedIsolated = Set("x137_incremental_dedup")
+    // x137 is pinned (pinnedIsolated, defined before pass 2 where the
+    // floor is computed): its r6 in-suite time (28.1 s) was 4x its
+    // isolated time and the verdict asked for the gap to be pinned down
+    // IN the official record each round, not presumed co-tenancy.
     val topIsolated = results1.sortBy(-_._2).take(10).map(_._1)
     val drifted = results1.collect {
       case (n, v) if basisTime(n).exists(p =>
@@ -521,11 +600,16 @@ object Bench {
       System.err.println(s"[bench] drifted=${driftedOnly.size} exceeds the " +
         s"isolated budget; sampling $driftSpace (uniform drift IS the " +
         "co-tenancy verdict — the sample carries it)")
+    // FLOOR entries lead (r15 verdict #4): they were budget-reserved
+    // ahead of pass 2 and carry a bounded overrun allowance below.
     val toIsolate: Seq[(String, Boolean)] =
       if (only.nonEmpty) Seq.empty // isolation experiments: skip adjudication
-      else ((pins ++ driftedSample).map(n => n -> true) ++
+      else (floorNames.map(n => n -> true) ++
+        (pins ++ driftedSample).filterNot(floorNames.contains)
+          .map(n => n -> true) ++
         topIsolated.filterNot(n => pinnedIsolated(n) ||
-          driftedSample.contains(n)).map(n => n -> false)).take(isoCap)
+          driftedSample.contains(n) || floorNames.contains(n))
+          .map(n => n -> false)).take(isoCap)
     // The isolated re-runs happen in a FRESH SparkSession after a full GC:
     // r11's record showed the end-of-suite re-runs reading HIGHER than
     // in-suite for five of eight entries — after 246 queries x 3 passes
@@ -536,17 +620,23 @@ object Bench {
     // measures warm code (min-of-2 absorbs the rest).
     // Don't pay the ~10-15 s fresh-session restart when no entry can fit
     // the remaining budget anyway (r15 run 2 restarted at -90 s).
-    if (toIsolate.nonEmpty && remainingSec > 60) {
+    if (toIsolate.nonEmpty && (remainingSec > 60 ||
+        (floorNames.nonEmpty && remainingSec + isoFloorOverrun > floorCost))) {
       spark.stop()
       System.gc()
       spark = Sessions.local(cpus)
       toIsolate.foreach { case (n, adjudicating) =>
-        // Per-entry deadline gate: estimated cost is 3x the in-suite time
-        // (same protocol: one UNTIMED warmup run — r12 verdict #3: the
-        // columns must measure the same thing to adjudicate co-tenancy —
-        // then min-of-2 timed) plus slack for the emission tail.
-        val est = 3 * math.max(0.0, timings.getOrElse(n, 1.0)) + 5
-        if (remainingSec < est + 45) isoSkipped += 1
+        // Per-entry deadline gate (same protocol: one UNTIMED warmup run
+        // — r12 verdict #3: the columns must measure the same thing to
+        // adjudicate co-tenancy — then min-of-2 timed) plus slack for
+        // the emission tail. The estimate comes from the BASIS time when
+        // known (r15 verdict #4: 3x a co-tenancy-inflated in-suite time
+        // priced adjudication out exactly when it was needed); FLOOR
+        // entries additionally get a bounded overrun allowance past the
+        // deadline — pass 2 already degraded in their favor.
+        val est = isoEst(n)
+        val slack = if (floorNames.contains(n)) -isoFloorOverrun else 45
+        if (remainingSec < est + slack) isoSkipped += 1
         else {
           run(n)
           isolatedAcc.put(n, (math.min(run(n), run(n)), adjudicating))

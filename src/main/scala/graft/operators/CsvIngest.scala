@@ -57,6 +57,7 @@ object CsvIngest {
       .take(8).map(b => f"$b%02x").mkString
     val staged = Paths.get(sys.props("java.io.tmpdir"), s"graft_csv_$key")
     if (!Files.isDirectory(staged)) {
+      Staging.sweepStale("graft_csv_", _ == staged.getFileName.toString)
       val tmp = Paths.get(staged.toString + "_tmp_" +
         java.util.UUID.randomUUID().toString.take(8))
       val uid = when(col("event_id") % 13 === 5,

@@ -58,6 +58,39 @@ private[graft] object StoredTables {
       warehousePath(spark).resolve(name).toFile)
   }
 
+  /** Register a COMMITTED on-disk warehouse directory as this JVM's
+    * catalog table instead of rebuilding it (r15 advice #3: the session
+    * catalog is in-memory per-JVM while the warehouse persists, so every
+    * fresh JVM paid a full rebuild/re-stream of indexes that were already
+    * on disk). Committed = the Hadoop committer's `_SUCCESS` marker is
+    * present — a crashed half-written saveAsTable dir has none and is
+    * rebuilt. Returns true when the table is now queryable.
+    *
+    * The registration is a `CREATE TABLE ... USING PARQUET [CLUSTERED BY
+    * ...] LOCATION` over the existing files: saveAsTable-written bucket
+    * files carry their bucket id in the filename (`..._00003.c000...`),
+    * which Spark's bucketed reader parses — so the adopted table prunes
+    * buckets exactly like the original (Round19/20Spec assert
+    * SelectedBucketsCount on adopted tables too).
+    */
+  def adoptFromDisk(spark: SparkSession, name: String,
+      buckets: Option[(Int, Seq[String], Seq[String])] = None): Boolean = {
+    if (spark.catalog.tableExists(name)) return true
+    val dir = warehousePath(spark).resolve(name)
+    if (!java.nio.file.Files.isRegularFile(dir.resolve("_SUCCESS")))
+      return false
+    val schema =
+      try spark.read.parquet(dir.toString).schema.toDDL
+      catch { case _: Throwable => return false } // unreadable → rebuild
+    val bucketClause = buckets.map { case (n, by, sort) =>
+      s"CLUSTERED BY (${by.mkString(", ")}) " +
+        s"SORTED BY (${sort.mkString(", ")}) INTO $n BUCKETS "
+    }.getOrElse("")
+    spark.sql(s"CREATE TABLE `$name` ($schema) USING PARQUET " +
+      bucketClause + s"LOCATION '${dir.toUri}'")
+    true
+  }
+
   /** Drop every catalog table starting with `prefix` that `keep` rejects —
     * called before a build so stale versions (old corpus mtimes, old
     * params) leave instead of accumulating one table per corpus version.

@@ -140,50 +140,57 @@ object Round19Queries {
          |   FROM d2docs GROUP BY 1""".stripMargin,
       "SELECT count(*) * 2 // 5 AS n_budget FROM d2docs")
       .stripPrefix("WITH ")
+    // Every non-recursive CTE is MATERIALIZED: DuckDB inlines plain CTEs,
+    // and `edges` is referenced INSIDE the recursive `reach` — inlined, its
+    // whole upstream (the all-pairs 3-gram Jaccard over the corpus, with
+    // the shingle extraction appearing four times) was re-evaluated EVERY
+    // fixpoint iteration. Measured at sf0.01: 572 s inlined → 1.3 s
+    // materialized, byte-identical result (r15 verdict #1: this one oracle
+    // was most of the driver compare's window).
     s"""WITH RECURSIVE
-       | fr AS (SELECT doc_id, reason FROM (${Round6bQueries.filterReportSql}) f),
-       | kept1 AS (SELECT doc_id FROM fr WHERE reason = 'keep'),
-       | p0 AS (${Dedup.ngramJaccardPairsSql(0.8)}),
-       | p AS (SELECT p0.a, p0.b FROM p0
+       | fr AS MATERIALIZED (SELECT doc_id, reason FROM (${Round6bQueries.filterReportSql}) f),
+       | kept1 AS MATERIALIZED (SELECT doc_id FROM fr WHERE reason = 'keep'),
+       | p0 AS MATERIALIZED (${Dedup.ngramJaccardPairsSql(0.8)}),
+       | p AS MATERIALIZED (SELECT p0.a, p0.b FROM p0
        |       JOIN kept1 ka ON p0.a = ka.doc_id
        |       JOIN kept1 kb ON p0.b = kb.doc_id),
-       | edges AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+       | edges AS MATERIALIZED (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
        | reach(src, dst) AS (
        |   SELECT DISTINCT a AS src, a AS dst FROM edges
        |   UNION
        |   SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a
        | ),
-       | cl AS (SELECT src AS doc_id, min(dst) AS cluster_id
+       | cl AS MATERIALIZED (SELECT src AS doc_id, min(dst) AS cluster_id
        |        FROM reach GROUP BY 1),
-       | q AS (${TextAnalysis.qualityScoreSql}),
-       | cj AS (SELECT cl.doc_id, cl.cluster_id, q.quality
+       | q AS MATERIALIZED (${TextAnalysis.qualityScoreSql}),
+       | cj AS MATERIALIZED (SELECT cl.doc_id, cl.cluster_id, q.quality
        |        FROM cl JOIN q ON cl.doc_id = q.doc_id),
-       | mm AS (SELECT cluster_id, max(quality) AS bq FROM cj GROUP BY 1),
-       | canon AS (SELECT cj.cluster_id, min(cj.doc_id) AS canonical
+       | mm AS MATERIALIZED (SELECT cluster_id, max(quality) AS bq FROM cj GROUP BY 1),
+       | canon AS MATERIALIZED (SELECT cj.cluster_id, min(cj.doc_id) AS canonical
        |           FROM cj JOIN mm ON cj.cluster_id = mm.cluster_id
        |                          AND cj.quality = mm.bq
        |           GROUP BY 1),
-       | dropped2 AS (SELECT cj.doc_id FROM cj
+       | dropped2 AS MATERIALIZED (SELECT cj.doc_id FROM cj
        |              JOIN canon ON cj.cluster_id = canon.cluster_id
        |              WHERE cj.doc_id <> canon.canonical),
-       | s2 AS (SELECT k.doc_id,
+       | s2 AS MATERIALIZED (SELECT k.doc_id,
        |               CASE WHEN d2.doc_id IS NOT NULL THEN 'near_dup'
        |                    ELSE 'keep' END AS reason
        |        FROM kept1 k LEFT JOIN dropped2 d2 ON k.doc_id = d2.doc_id),
-       | d2docs AS (SELECT d.doc_id, d.source, d.text FROM documents d
+       | d2docs AS MATERIALIZED (SELECT d.doc_id, d.source, d.text FROM documents d
        |            JOIN s2 ON d.doc_id = s2.doc_id AND s2.reason = 'keep'),
        | $hamilton,
-       | sel AS (SELECT doc_id, source FROM (
+       | sel AS MATERIALIZED (SELECT doc_id, source FROM (
        |           SELECT doc_id, source,
        |                  row_number() OVER (PARTITION BY source
        |                                     ORDER BY doc_id) AS rn
        |           FROM d2docs) dd
        |         JOIN alloc USING (source) WHERE dd.rn <= alloc.alloc),
-       | s3 AS (SELECT dd.doc_id,
+       | s3 AS MATERIALIZED (SELECT dd.doc_id,
        |               CASE WHEN sel.doc_id IS NOT NULL THEN 'keep'
        |                    ELSE 'over_budget' END AS reason
        |        FROM d2docs dd LEFT JOIN sel ON dd.doc_id = sel.doc_id),
-       | toks AS (SELECT d.doc_id,
+       | toks AS MATERIALIZED (SELECT d.doc_id,
        |                 len(list_filter(string_split(d.text, ' '),
        |                                 x -> x <> '')) AS n_tok
        |          FROM documents d

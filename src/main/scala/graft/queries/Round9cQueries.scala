@@ -153,15 +153,15 @@ object Round9cQueries {
         .toLong & 0xffffffffL)
     val staged = Paths.get(sys.props("java.io.tmpdir"), s"graft_json_$stageKey")
     if (!Files.isDirectory(staged)) {
+      graft.operators.Staging.sweepStale("graft_json_",
+        _ == staged.getFileName.toString)
       val tmp = Paths.get(staged.toString +
         s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       ev.filter(col("event_id") % 2 === 0).select("event_id", "event_type")
         .write.mode("overwrite").json(s"$tmp/legacy")
       ev.filter(col("event_id") % 2 === 1)
         .write.mode("overwrite").json(s"$tmp/current")
-      try Files.move(tmp, staged, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException |
-                   _: java.nio.file.DirectoryNotEmptyException => () }
+      graft.operators.Staging.publish(tmp, staged)
     }
     val unionSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("event_id",

@@ -120,11 +120,17 @@ object StreamingOps {
     // Time-ordered staging uses 2 files: cross-batch matching is still
     // exercised (2+ microbatches) at half the per-batch state-commit cost.
     val nFiles = if (byTime) timeFiles else 4
-    val stageKey = java.lang.Long.toHexString(
-      java.util.Objects.hash("us2", dir, srcBytes, srcMtime).toLong & 0xffffffffL) +
+    val stageBase = java.lang.Long.toHexString(
+      java.util.Objects.hash("us2", dir, srcBytes, srcMtime).toLong & 0xffffffffL)
+    val stageKey = stageBase +
       (if (byTime) s"_t$nFiles" else "") + (if (sentinel) "_s" else "")
     val staged = Paths.get(sys.props("java.io.tmpdir"), s"graft_stream_$stageKey")
     if (!Files.isDirectory(staged)) {
+      // Stale corpus versions' staged copies leave first (r15 advice #2
+      // class: one dir per corpus version accumulated forever). All live
+      // VARIANTS share this corpus's base hash and are kept.
+      graft.operators.Staging.sweepStale("graft_stream_",
+        _.startsWith(s"graft_stream_$stageBase"))
       val tmp = Paths.get(
         staged.toString + s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       // Unit-aware source read (micros vs legacy nanos fixture), then
@@ -1374,6 +1380,22 @@ object StreamingOps {
     * `maxFilesPerTrigger=1` yields genuinely incremental microbatches
     * (the events stager's idiom, doc-shaped).
     */
+  /** Materializes every staged stream fixture this object's queries read
+    * (content-keyed; a no-op once staged) WITHOUT draining any stream —
+    * [[graft.Prebuild]]'s setup phase, so one-time staging writes never
+    * ride a timed bench pass (r15 verdict #5) and a parallel Verify dump
+    * never races two stagers on the same fixture.
+    */
+  private[graft] def prestage(spark: SparkSession, dir: String): Unit = {
+    stagedEventsStream(spark, dir)
+    stagedEventsStream(spark, dir, byTime = true)
+    stagedEventsStream(spark, dir, byTime = true, timeFiles = 6)
+    stagedEventsStream(spark, dir, byTime = true, sentinel = true)
+    stagedDocsStream(spark, dir)
+    stagedDisorderedEventsStream(spark, dir)
+    ()
+  }
+
   private def stagedDocsStream(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val docSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -1388,13 +1410,13 @@ object StreamingOps {
         Files.getLastModifiedTime(srcPath).toMillis).toLong & 0xffffffffL)
     val staged = Paths.get(sys.props("java.io.tmpdir"), s"graft_docstream_$stageKey")
     if (!Files.isDirectory(staged)) {
+      graft.operators.Staging.sweepStale("graft_docstream_",
+        _ == staged.getFileName.toString)
       val tmp = Paths.get(
         staged.toString + s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       spark.read.schema(docSchema).parquet(srcPath.toString)
         .repartition(4).write.mode("overwrite").parquet(tmp.toString)
-      try Files.move(tmp, staged, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException |
-                   _: java.nio.file.DirectoryNotEmptyException => () }
+      graft.operators.Staging.publish(tmp, staged)
     }
     spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", 1).parquet(staged.toString)
@@ -1500,6 +1522,8 @@ object StreamingOps {
       org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
     val staged = Paths.get(sys.props("java.io.tmpdir"), s"graft_disstream_$stageKey")
     if (!Files.isDirectory(staged)) {
+      graft.operators.Staging.sweepStale("graft_disstream_",
+        _ == staged.getFileName.toString)
       val tmp = Paths.get(
         staged.toString + s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
       Files.createDirectories(tmp)
@@ -1527,9 +1551,7 @@ object StreamingOps {
         try s1.iterator().asScala.toSeq.reverse.foreach(Files.delete)
         finally s1.close()
       }
-      try Files.move(tmp, staged, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException |
-                   _: java.nio.file.DirectoryNotEmptyException => () }
+      graft.operators.Staging.publish(tmp, staged)
     }
     spark.readStream
       .schema(rawSchema)

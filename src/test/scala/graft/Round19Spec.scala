@@ -257,8 +257,11 @@ class Round19Spec extends SparkSuite {
     // that it happened (deterministic: the staging is content-keyed).
     import java.nio.file.{Files, Paths}
     import spark.implicits._
+    // Regenerated UNCONDITIONALLY (r15 advice #4): an exists-check kept
+    // testing a stale parquet across generator edits until a clean. It's
+    // 32 tiny rows — overwrite every run.
     val fixDir = Paths.get("target", "graft_x251_fixture")
-    if (!Files.isDirectory(fixDir.resolve("documents.parquet"))) {
+    locally {
       def text(seed: Long): String =
         (0 until 30).map(w => s"w${seed}x$w").mkString(" ")
       val base = (0L until 24L).map(i => (i, text(i)))

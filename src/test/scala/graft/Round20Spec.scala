@@ -23,8 +23,12 @@ class Round20Spec extends SparkSuite {
     assert(got.nonEmpty && got == mem,
       "stream-maintained segment index diverges from the in-memory route")
 
+    // Full-key segment pattern (r15 advice #1): `contains("_b")` also
+    // matched the `_zdone` completion marker whenever the content key's
+    // hex happened to contain 'b', inflating segRows ~1/16 of corpus
+    // versions.
     val segs = spark.catalog.listTables().collect().map(_.name)
-      .filter(n => n.startsWith("graft_annseg_") && n.contains("_b"))
+      .filter(_.matches("graft_annseg_[0-9a-f]{16}_b\\d+"))
     assert(segs.length >= 2,
       s"only ${segs.length} segment table(s) — the index was not " +
         "maintained across microbatches")
@@ -49,7 +53,7 @@ class Round20Spec extends SparkSuite {
       .annTopKBandedStreamed(spark, emb, sfDir, 0L, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val segsAgain = spark.catalog.listTables().collect().map(_.name)
-      .filter(n => n.startsWith("graft_annseg_") && n.contains("_b"))
+      .filter(_.matches("graft_annseg_[0-9a-f]{16}_b\\d+"))
     assert(again == mem, "reused segment index diverges")
     assert(segsAgain.sorted.toSeq == segs.sorted.toSeq,
       "the second probe changed the segment set — reuse re-streamed")
@@ -68,7 +72,7 @@ class Round20Spec extends SparkSuite {
       "compacted index diverges from the in-memory route")
     // Lossless fold: compacted table rows == sum over segment tables.
     val segs = spark.catalog.listTables().collect().map(_.name)
-      .filter(n => n.startsWith("graft_annseg_") && n.contains("_b"))
+      .filter(_.matches("graft_annseg_[0-9a-f]{16}_b\\d+"))
     val cpt = spark.catalog.listTables().collect().map(_.name)
       .filter(_.startsWith("graft_anncpt_"))
     assert(cpt.length == 1, s"expected one compacted table, got ${cpt.length}")

@@ -93,18 +93,45 @@ def canon(df):
     return cols, out
 
 
-def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
+def _connect(sfdir):
     con = duckdb.connect()
+    # Workers run concurrently — cap DuckDB's own intra-query threading so
+    # N workers don't oversubscribe the box N*32-fold.
+    con.execute("PRAGMA threads=4")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
-    with open(f"{outdir}/oracle_sql.json") as f:
-        oracle = json.load(f)
+    return con
 
-    n_pass = n_fail = 0
-    for name in sorted(oracle):
-        sql = oracle[name]
+
+_worker_con = None
+_worker_args = None
+
+
+def _init_worker(sfdir, outdir):
+    global _worker_con, _worker_args
+    _worker_con = _connect(sfdir)
+    _worker_args = (sfdir, outdir)
+
+
+def _check_worker(item):
+    name, sql = item
+    _, outdir = _worker_args
+    try:
+        return check_one(_worker_con, outdir, name, sql)
+    except Exception as e:  # a worker must never take the pool down
+        return name, False, [f"FAIL {name}: comparator error: {e}"]
+
+
+def check_one(con, outdir, name, sql):
+    """Returns (name, passed, output lines). Logic unchanged from the
+    historical sequential loop — only factored out so a process pool can
+    run the (embarrassingly parallel) per-query checks concurrently
+    (r15 verdict #1: the sequential compare alone was ~8 min of the
+    driver window; x250's recursive-closure oracle is minutes single-
+    threaded)."""
+    out = []
+    if True:  # keep the historical loop body's indentation
         try:
             # .df(): the driver's pandas coercion — NOT fetchall (see
             # canon_value).
@@ -112,9 +139,8 @@ def main():
             ocols = list(odf.columns)
             otypes = dict(r[:2] for r in con.execute(f"DESCRIBE {sql}").fetchall())
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            n_fail += 1
-            continue
+            out.append(f"FAIL {name}: duckdb error: {e}")
+            return name, False, out
         try:
             # pandas/pyarrow read — the driver's Spark-side path (decimal
             # columns arrive as exact Decimal objects, NOT float64: the
@@ -124,9 +150,8 @@ def main():
             ssql = f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
             stypes = dict(r[:2] for r in con.execute(f"DESCRIBE {ssql}").fetchall())
         except Exception as e:
-            print(f"FAIL {name}: spark result unreadable: {e}")
-            n_fail += 1
-            continue
+            out.append(f"FAIL {name}: spark result unreadable: {e}")
+            return name, False, out
         # The driver's hash gate is TYPE-sensitive (uncast DuckDB sum() ->
         # HUGEINT vs Spark BIGINT failed it in r01 while str()-canon passed),
         # so mirror that: column type names must match, not just values.
@@ -134,22 +159,19 @@ def main():
         # silently skip checks; spark-only columns would never be
         # type-checked — fail loudly on both.
         if len(otypes) != len(ocols) or len(stypes) != len(scols):
-            print(f"FAIL {name}: duplicate column names "
-                  f"duckdb={ocols} spark={scols}")
-            n_fail += 1
-            continue
+            out.append(f"FAIL {name}: duplicate column names "
+                       f"duckdb={ocols} spark={scols}")
+            return name, False, out
         extra = set(otypes) ^ set(stypes)
         if extra:
-            print(f"FAIL {name}: column sets differ "
-                  f"(symmetric diff: {sorted(extra)})")
-            n_fail += 1
-            continue
+            out.append(f"FAIL {name}: column sets differ "
+                       f"(symmetric diff: {sorted(extra)})")
+            return name, False, out
         tdiff = {c: (otypes.get(c), stypes.get(c)) for c in otypes
                  if otypes.get(c) != stypes.get(c)}
         if tdiff:
-            print(f"FAIL {name}: type mismatch (duckdb, spark): {tdiff}")
-            n_fail += 1
-            continue
+            out.append(f"FAIL {name}: type mismatch (duckdb, spark): {tdiff}")
+            return name, False, out
         # The DRIVER's pandas harness crashes on ARRAY/STRUCT/MAP-typed
         # result columns (sort_values -> unhashable numpy.ndarray), so any
         # nested output type is a guaranteed red row there even though this
@@ -159,10 +181,9 @@ def main():
         nested = {c: t for c, t in {**otypes, **stypes}.items()
                   if "[]" in t or t.startswith(("STRUCT", "MAP", "UNION"))}
         if nested:
-            print(f"FAIL {name}: nested result column(s) {nested} — the "
-                  f"driver's pandas gate cannot sort these; stringify them")
-            n_fail += 1
-            continue
+            out.append(f"FAIL {name}: nested result column(s) {nested} — the "
+                       f"driver's pandas gate cannot sort these; stringify them")
+            return name, False, out
         # NULL-vs-NaN divergence gate (r13 advice #4): canon() below sees
         # post-pandas values where both canonicalize alike, so compare the
         # per-column (NULL, NaN) count pairs captured BEFORE the coercion.
@@ -174,37 +195,70 @@ def main():
             nn_diff = {c: (onn.get(c), snn.get(c)) for c in onn
                        if onn.get(c) != snn.get(c)}
             if nn_diff:
-                print(f"FAIL {name}: NULL/NaN divergence (duckdb, spark) "
-                      f"per column (n_null, n_nan): {nn_diff}")
-                n_fail += 1
-                continue
+                out.append(f"FAIL {name}: NULL/NaN divergence (duckdb, spark) "
+                           f"per column (n_null, n_nan): {nn_diff}")
+                return name, False, out
         oc, orws = canon(odf)
         sc, srws = canon(sdf)
         if oc != sc:
-            print(f"FAIL {name}: schema mismatch duckdb={oc} spark={sc}")
-            n_fail += 1
-            continue
+            out.append(f"FAIL {name}: schema mismatch duckdb={oc} spark={sc}")
+            return name, False, out
         ordered_match = orws == srws
         sorted_match = sorted(orws) == sorted(srws)
         if sorted_match:
             flag = "" if ordered_match else " (order differs, sorted match)"
-            print(f"PASS {name}: {len(srws)} rows{flag}")
-            n_pass += 1
+            out.append(f"PASS {name}: {len(srws)} rows{flag}")
+            return name, True, out
         else:
-            n_fail += 1
             oset, sset = set(orws), set(srws)
             only_o = [r for r in orws if r not in sset][:3]
             only_s = [r for r in srws if r not in oset][:3]
-            print(f"FAIL {name}: rows differ (duckdb={len(orws)} spark={len(srws)})")
+            out.append(f"FAIL {name}: rows differ (duckdb={len(orws)} spark={len(srws)})")
             for r in only_o:
-                print(f"  duckdb-only: {r[:200]}")
+                out.append(f"  duckdb-only: {r[:200]}")
             for r in only_s:
-                print(f"  spark-only:  {r[:200]}")
+                out.append(f"  spark-only:  {r[:200]}")
             if not only_o and not only_s:
                 for i, (a, b) in enumerate(zip(orws, srws)):
                     if a != b:
-                        print(f"  first order diff at row {i}:\n   duckdb={a[:200]}\n   spark ={b[:200]}")
+                        out.append(f"  first order diff at row {i}:\n   duckdb={a[:200]}\n   spark ={b[:200]}")
                         break
+            return name, False, out
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    with open(f"{outdir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    items = [(n, oracle[n]) for n in sorted(oracle)]
+
+    import os
+    procs = int(os.environ.get("GRAFT_COMPARE_PROCS",
+                               str(min(8, os.cpu_count() or 1))))
+    procs = max(1, min(procs, len(items) or 1))
+    n_pass = n_fail = 0
+    if procs == 1:
+        con = _connect(sfdir)
+        results = (check_one(con, outdir, n, s) for n, s in items)
+        for _, passed, lines in results:
+            for ln in lines:
+                print(ln, flush=True)
+            n_pass += passed
+            n_fail += not passed
+    else:
+        # Process pool, one DuckDB connection per worker (r15 verdict #1:
+        # the checks are independent; results print as they complete, so
+        # a killed run still shows every finished query — per-query line
+        # format and the summary/exit contract are unchanged).
+        import multiprocessing as mp
+        ctx = mp.get_context("fork")
+        with ctx.Pool(procs, initializer=_init_worker,
+                      initargs=(sfdir, outdir)) as pool:
+            for _, passed, lines in pool.imap_unordered(_check_worker, items):
+                for ln in lines:
+                    print(ln, flush=True)
+                n_pass += passed
+                n_fail += not passed
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
