@@ -544,8 +544,12 @@ object Bench {
         basisTime(n).getOrElse(timings.getOrElse(n, 1.0))) + 5
     val floorCost =
       if (floorNames.isEmpty) 0.0 else floorNames.map(isoEst).sum + 50
+    // 300 s: measured r16 run 1 — pass 1 alone overran the deadline by
+    // 133 s under 3x start-of-run write contention, so a 180 s allowance
+    // still skipped the pins; the SIGTERM hook backstops a driver kill
+    // mid-floor with a partial record either way.
     val isoFloorOverrun = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_ISO_FLOOR_OVERRUN", "180").toDouble
+      "SPARK_GRAFT_BENCH_ISO_FLOOR_OVERRUN", "300").toDouble
 
     val pass2Names = names.filter { n =>
       val p1 = timings.getOrElse(n, -1.0)
