@@ -551,14 +551,35 @@ object Bench {
     val isoFloorOverrun = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_ISO_FLOOR_OVERRUN", "300").toDouble
 
-    val pass2Names = names.filter { n =>
+    val tail1s = names.filter { n =>
       val p1 = timings.getOrElse(n, -1.0)
       p1 < 0 || only.nonEmpty || basisTime(n).getOrElse(p1) >= 1.0
     }
-    pass2Names.foreach { n =>
-      if (remainingSec < math.max(0.18 * deadlineSec, floorCost))
-        pass2Skipped += 1
-      else merge(n, run(n))
+    // Cold cheap-tail retry (r16): a warmup-skipped sub-second query
+    // keeps a SINGLE pass-1 number that carries its JIT/codegen cold
+    // start — ~200 such queries × 0.2-0.5 s inflates the drift sum by
+    // 40-100 s in a truncated run with no regression anywhere. When
+    // budget remains after the ≥1 s tail's pass 2, cold cheap queries
+    // get their min-of-2 back (warm this time). Ordered AFTER the tail
+    // so the informative retries happen first; degrades to nothing
+    // under the same budget gate.
+    val tail1sSet = tail1s.toSet
+    val coldCheap = names.filter(n => coldNames.contains(n) &&
+      !tail1sSet(n) && timings.getOrElse(n, -1.0) >= 0)
+    (tail1s ++ coldCheap).foreach { n =>
+      if (remainingSec < math.max(0.18 * deadlineSec, floorCost)) {
+        // Optional cold retries don't count against pass2_skipped — that
+        // field means "a ≥1 s query lost its min-of-2", which stays
+        // comparable across rounds.
+        if (tail1sSet(n)) pass2Skipped += 1
+      }
+      else {
+        merge(n, run(n))
+        // A retried query is no longer cold (min-of-2 absorbed the cold
+        // start) — drop it from the record's cold list so the tag keeps
+        // meaning "this number may carry one-time cold-start cost".
+        coldNames.remove(n)
+      }
     }
     // END-of-suite calibration (r14): the start probe alone missed a
     // co-tenant that RAMPED during the run — probing again at suite end
