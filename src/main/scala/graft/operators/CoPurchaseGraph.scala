@@ -24,11 +24,14 @@ import org.apache.spark.storage.StorageLevel
   *  - `undirected` = u < v canonical distinct pairs (x152 triangles,
   *    x186 k-core base).
   *
-  * The x162/x163 skew pair deliberately does NOT route through this
-  * module: they are a controlled A/B demonstrator (id- vs
-  * degree-orientation on an identical planted-hub fixture) and keep
-  * their self-contained derivation so neither side's measurement
-  * depends on suite-level cache state.
+  * Since r16 the x162/x163 skew pair routes through this module too:
+  * both sides of the A/B demonstrator (id- vs degree-orientation on an
+  * identical planted-hub fixture) consume the same materialized base
+  * SYMMETRICALLY, so the measured gap — wedge volume under the two
+  * orientations, the pair's entire point — is unaffected, while each
+  * query stops re-deriving the lineitem self-join the suite already
+  * holds (r9's isolation rationale traded ~6 s of redundant derivation
+  * per sf0.1 run for a property the symmetry already guarantees).
   *
   * Liveness: the cache survives Bench's per-query persistent-RDD sweep
   * (Bench skips [[sharedRddIds]]); anything else that unpersists the

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -70,10 +71,34 @@ object Round10Queries {
   private[graft] def kcorePeelWithRounds(s: SparkSession, dir: String)
       : (DataFrame, Int) = {
     val e0 = peelFixtureEdges(s, dir).localCheckpoint()
-    var deg = e0.select(col("u").as("x"))
-      .union(e0.select(col("v").as("x")))
-      .groupBy("x").agg(count(lit(1)).as("d"))
+    // Both-direction adjacency, materialized ONCE: each round's removal
+    // count used to scan the edge checkpoint TWICE (u-side + v-side
+    // arms); one (x → neighbor y) table halves the per-round scan work
+    // and collapses the two joins into one (r16, guide §2.4).
+    val adj = e0.select(col("u").as("y"), col("v").as("nb"))
+      .union(e0.select(col("v").as("y"), col("u").as("nb")))
       .localCheckpoint()
+    var deg = adj.groupBy(col("y").as("x")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    // Byte-gated broadcasts for the per-round small sides (r16, guide
+    // §2.4/§3.1): every round joins the |E|-sized checkpointed adjacency
+    // and the |V|-sized degree iterate against the DOOMED set and its
+    // removal-count delta — both bounded by |V|, both tiny after round 1
+    // (the planted chains burn one node per chain per round) — but
+    // checkpointed inputs carry no stats, so all the joins planned as
+    // SortMergeJoins that exchanged the FULL edge list twice per round
+    // (~12 rounds at every SF). The gates: doomed on its own measured
+    // count (already an action — the convergence check), delta on the
+    // |V| upper bound measured once. The doomed side is broadcast as ONE
+    // shared projection so ReuseExchange builds the relation once per
+    // round for all three consuming joins. Past the bar each join falls
+    // back to the exact shuffle plan this replaced.
+    val autoBar = Dedup.broadcastLimitBytes(s)
+    val bar = Dedup.parseBytesConf(
+      s.conf.get("graft.graph.broadcastMaxBytes", "256MB"))
+    val nodeBytes = deg.count() * 16L
+    def gated(d: DataFrame, estBytes: Long) =
+      if (autoBar > 0 && estBytes <= bar) broadcast(d) else d
     var removed: List[DataFrame] = Nil
     var rounds = 0
     var converged = false
@@ -82,20 +107,19 @@ object Round10Queries {
       val doomed = deg.filter(col("d") < K)
         .select(col("x"), lit(rounds.toLong).as("peel_round"))
         .localCheckpoint()
-      if (doomed.count() == 0L) {
+      val nDoomed = doomed.count()
+      if (nDoomed == 0L) {
         converged = true
         graft.QueryDef.dropCheckpoint(doomed)
       } else {
         removed ::= doomed
-        // per-survivor removal counts: one scan of the materialized edge
-        // list against the (small) doomed set — edges never rewritten
-        val delta = e0.join(doomed.select(col("x").as("u")), Seq("u"))
-          .select(col("v").as("x"))
-          .union(e0.join(doomed.select(col("x").as("v")), Seq("v"))
-            .select(col("u").as("x")))
-          .groupBy("x").agg(count(lit(1)).as("rm"))
-        val next = deg.join(doomed.select("x"), Seq("x"), "left_anti")
-          .join(delta, Seq("x"), "left")
+        val dx = gated(doomed.select(col("x").as("dx")), nDoomed * 8L)
+        // per-survivor removal counts: one scan of the materialized
+        // adjacency against the (small) doomed set — edges never rewritten
+        val delta = adj.join(dx, col("y") === col("dx"))
+          .groupBy(col("nb").as("x")).agg(count(lit(1)).as("rm"))
+        val next = deg.join(dx, col("x") === col("dx"), "left_anti")
+          .join(gated(delta, nodeBytes), Seq("x"), "left")
           .select(col("x"),
             (col("d") - coalesce(col("rm"), lit(0L))).as("d"))
           .localCheckpoint()
@@ -103,6 +127,7 @@ object Round10Queries {
         deg = next
       }
     }
+    graft.QueryDef.dropCheckpoint(adj)
     // The convergence round was the edge list's last consumer: the output
     // below reads only the checkpointed deg/doomed iterates, so drop the
     // suite's largest checkpoint (the full edge list) NOW — otherwise its

@@ -90,13 +90,32 @@ object Round6bQueries {
       .localCheckpoint()
     val nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint()
+    // Every per-iteration join partner (deg, the rank iterate, the
+    // contribution aggregate) is |V|-sized while `edges` is |E|-sized —
+    // but the checkpointed inputs carry no stats, so Catalyst planned
+    // all 9 joins as SortMergeJoins that exchanged the EDGE list three
+    // times per iteration (14 Exchanges total, measured r16). Byte-gate
+    // a broadcast of the |V|-sized sides on the measured node count:
+    // below the bar the edge list streams straight from its checkpoint
+    // blocks and the only per-iteration exchange left is the map-side-
+    // combined contribution aggregate. Past the bar (graph whose rank
+    // vector outgrows an executor) every join falls back to the exact
+    // shuffle plan this replaced — the 100 TB shape is unchanged.
+    val nodeBytes = nodes.count() * 16L
+    val autoBar = graft.operators.Dedup.broadcastLimitBytes(s)
+    val bar = graft.operators.Dedup.parseBytesConf(
+      s.conf.get("graft.graph.broadcastMaxBytes", "256MB"))
+    def gated(d: org.apache.spark.sql.DataFrame) =
+      if (autoBar > 0 && nodeBytes <= bar) broadcast(d) else d
     var r = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to 3) {
       val contrib = edges
-        .join(r.withColumnRenamed("node", "src"), "src").join(deg, "src")
+        .join(gated(r.withColumnRenamed("node", "src")), "src")
+        .join(gated(deg), "src")
         .select(col("dst").as("node"), expr("r div outdeg").as("contrib"))
       r = nodes
-        .join(contrib.groupBy("node").agg(sum("contrib").as("sc")), Seq("node"), "left")
+        .join(gated(contrib.groupBy("node").agg(sum("contrib").as("sc"))),
+          Seq("node"), "left")
         .select(col("node"),
           expr("150000 + (850000 * coalesce(sc, 0)) div 1000000").as("r"))
     }
@@ -403,16 +422,6 @@ object Round6bQueries {
       |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS users
       |FROM bq GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
-  /** The co-purchase UNDIRECTED edge set, canonicalized as (u < v). */
-  private[queries] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val op = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-  }
-
   /** DEGREE orientation of an undirected (u < v) edge list: each edge is
     * directed from its endpoint with smaller (degree, id) to the larger —
     * a strict total order, so every triangle still has exactly one acyclic
@@ -436,16 +445,41 @@ object Round6bQueries {
     // x162-vs-x163 adjudication by overcharging exactly the degree
     // variant this operator exists to make cheap).
     val und = und0.localCheckpoint()
+    // deg is |V| rows: materialize it once (its two join arms would each
+    // re-run the aggregate — checkpointed inputs carry no stats, so
+    // Catalyst can neither share nor size the subtree) and byte-gate a
+    // broadcast under the SAME knob as the closing probe (r16 guide §3.1:
+    // both orientation joins were SortMergeJoins that exchanged the FULL
+    // edge list twice to meet a |V|-sized side; |V| ≤ 2|E|, so whenever
+    // the edge list itself is broadcastable the degree table certainly
+    // is). Past the bar the joins fall back to the shuffle plan — the
+    // 100 TB behavior is unchanged.
     val deg = und.select(col("u").as("x"))
       .unionAll(und.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val s = und.sparkSession
+    val degBytes = deg.count() * 16L
+    val autoBar = graft.operators.Dedup.broadcastLimitBytes(s)
+    val bar = graft.operators.Dedup.parseBytesConf(
+      s.conf.get("graft.triangles.broadcastMaxBytes", "256MB"))
+    def degSide(k: String, d: String) = {
+      val side = deg.select(col("x").as(k), col("d").as(d))
+      if (autoBar > 0 && degBytes <= bar) broadcast(side) else side
+    }
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    und.join(deg.select(col("x").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    val oriented = und.join(degSide("u", "du"), "u")
+      .join(degSide("v", "dv"), "v")
       .select(when(uFirst, col("u")).otherwise(col("v")).as("lo"),
         when(uFirst, col("v")).otherwise(col("u")).as("hi"))
       .select(col("lo").as("u"), col("hi").as("v"))
+    // The caller checkpoints the oriented output (wedgeTriangles) — deg's
+    // blocks die with the per-query sweep either way, but drop them as
+    // soon as the orientation is materialized in library use too.
+    val out = oriented.localCheckpoint()
+    Seq(und, deg).foreach(graft.QueryDef.dropCheckpoint)
+    out
   }
 
   /** Wedge-join triangle count over an ORIENTED edge list, with the
@@ -473,19 +507,63 @@ object Round6bQueries {
     * branches share the oracle. The oriented list feeds three join arms
     * → materialized once, not re-derived per arm (the x144 lesson).
     */
+  /** Returns `(e, closed)` where `closed` is one row per triangle with a
+    * single column `apex` (= the wedge center e1.u — the orientation's
+    * source, exactly what the callers aggregate).
+    *
+    * r16 rework, measured at sf0.1 (1.2M edges, ~50M wedges):
+    *  - The closing probe was the bottleneck, NOT the wedge join: a
+    *    two-column join key builds a generic `UnsafeHashedRelation`
+    *    (row-hash + row-equality per probe — ~5 s for 50M probes), while
+    *    PACKING (u, v) into one 64-bit key gets the dense
+    *    `LongHashedRelation` (~1 s). The pack is injective whenever both
+    *    endpoints fit unsigned 32 bits — gated on the MEASURED id bounds
+    *    (same action as the edge count), falling back to the exact
+    *    two-key plan on any graph with wider ids.
+    *  - The probe is a LEFT SEMI (the closing edge either exists or not;
+    *    `e` is a distinct pair set, so inner-join multiplicity is
+    *    provably 1 — identical row count, and the semi form lets the
+    *    join stop at the first match).
+    *  - The wedge join broadcasts its build side under the same byte
+    *    gate as the probe (measured: BHJ 1.3 s vs SMJ 2.5 s for the
+    *    enumeration — the SMJ buffers every duplicate-key group).
+    * Past the byte gate every join falls back to the shuffle plan (the
+    * 100 TB shape: wedges never materialize driver-side either way), and
+    * autoBroadcastJoinThreshold=-1 disables every hint absolutely.
+    */
   private def wedgeTriangles(s: org.apache.spark.sql.SparkSession,
       oriented: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val e = oriented.localCheckpoint()
-    val edgeBytes = e.count() * 16L
+    // orientByDegree already returns a checkpointed frame — don't pay a
+    // second materialization pass re-checkpointing those blocks.
+    val e = oriented.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => oriented
+      case _ => oriented.localCheckpoint()
+    }
+    val st = e.agg(count(lit(1)), min(col("u")), max(col("u")),
+      min(col("v")), max(col("v"))).head()
+    val edgeBytes = st.getLong(0) * 16L
+    val fitsPacked = !st.isNullAt(1) && st.getLong(1) >= 0L &&
+      st.getLong(3) >= 0L && st.getLong(2) < (1L << 32) &&
+      st.getLong(4) < (1L << 32)
     val autoBar = graft.operators.Dedup.broadcastLimitBytes(s)
     val bar = graft.operators.Dedup.parseBytesConf(
       s.conf.get("graft.triangles.broadcastMaxBytes", "256MB"))
-    val e3 = if (autoBar > 0 && edgeBytes <= bar)
-      broadcast(e.as("e3")) else e.as("e3")
-    (e, e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
-      .join(e3,
-        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v")))
+    def gated(d: org.apache.spark.sql.DataFrame) =
+      if (autoBar > 0 && edgeBytes <= bar) broadcast(d) else d
+    def pk(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+      shiftleft(u, 32).bitwiseOR(v)
+    val wedges = e.as("e1")
+      .join(gated(e.as("e2")), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("apex"), col("e2.v").as("w"))
+    val closed =
+      if (fitsPacked)
+        wedges.join(gated(e.select(pk(col("u"), col("v")).as("cpk"))),
+          pk(col("apex"), col("w")) === col("cpk"), "left_semi")
+      else
+        wedges.join(gated(e.select(col("u").as("cu"), col("v").as("cw"))),
+          col("cu") === col("apex") && col("cw") === col("w"), "left_semi")
+    (e, closed)
   }
 
   /** x152: triangle count on the co-purchase graph via DEGREE-oriented
@@ -497,12 +575,12 @@ object Round6bQueries {
   private def triangles(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     // Edge base from the shared per-run co-purchase table (r11 verdict
-    // #4); the skew pair x162/x163 keeps the self-contained
-    // copurchaseEdges derivation — see CoPurchaseGraph's Scaladoc.
-    val (_, wedges) = wedgeTriangles(s,
+    // #4); since r16 the skew pair x162/x163 rides it too — see
+    // [[skewedEdges]].
+    val (_, closed) = wedgeTriangles(s,
       orientByDegree(graft.operators.CoPurchaseGraph.undirected(s, dir)))
-    wedges.agg(count(lit(1)).as("triangles"),
-      countDistinct(col("e1.u")).as("apex_nodes"))
+    closed.agg(count(lit(1)).as("triangles"),
+      countDistinct(col("apex")).as("apex_nodes"))
   }
 
   private val trianglesSql =
@@ -544,7 +622,17 @@ object Round6bQueries {
       .filter(col("p") % 4 === 0 && col("p") =!= col("h"))
       .select(least(col("p"), col("h")).as("u"),
         greatest(col("p"), col("h")).as("v"))
-    copurchaseEdges(s, dir).unionByName(spokes).distinct()
+    // r16 optimization: the co-purchase base now comes from the shared
+    // per-run table (row-identical to [[copurchaseEdges]]: pairWeights'
+    // groupBy is the same distinct (u < v) pair set). The r9 isolation
+    // rationale — "neither side's measurement depends on suite-level
+    // cache state" — is superseded: BOTH sides consume the same
+    // materialized base symmetrically, so the A/B gap (wedge volume
+    // under id- vs degree-orientation, the pair's entire point) is
+    // untouched, while each query stops re-deriving the lineitem
+    // self-join the suite already holds (~3 s apiece at sf0.1).
+    graft.operators.CoPurchaseGraph.undirected(s, dir)
+      .unionByName(spokes).distinct()
   }
 
   private def trianglesSkewId(s: org.apache.spark.sql.SparkSession,

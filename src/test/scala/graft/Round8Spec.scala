@@ -17,8 +17,12 @@ class Round8Spec extends SparkSuite {
             if j.hint.leftHint.exists(_.strategy.nonEmpty) ||
               j.hint.rightHint.exists(_.strategy.nonEmpty) => j
       }.size
-    assert(forcedBroadcasts(q(spark, sfDir)) == 1,
-      "below the bar the closing probe must carry the broadcast hint")
+    // Two gated hints since r16: the closing probe e3 AND the wedge
+    // build side e2 (the orientation-phase degree broadcasts sit behind
+    // the localCheckpoint and never appear in the returned plan).
+    assert(forcedBroadcasts(q(spark, sfDir)) == 2,
+      "below the bar the wedge build side and the closing probe must " +
+        "both carry the broadcast hint")
     spark.conf.set("graft.triangles.broadcastMaxBytes", "64")
     try {
       val df = q(spark, sfDir)
