@@ -227,14 +227,30 @@ object Dedup {
     * candidate DOCS' text is shingled (left-semi on the pair ids), so at
     * scale this is point lookups into the corpus, not a rescan.
     */
-  def verifyCandidates(docs: DataFrame, candidates: DataFrame,
+  def verifyCandidates(docs: DataFrame, candidates0: DataFrame,
       threshold: Double): DataFrame = {
+    // Materialize the candidate pairs once (r16): they feed THREE plan
+    // arms (the id keep-list + the common-count join + implicitly the
+    // output), so a lazy candidate plan — typically the LSH bucket join —
+    // used to re-execute per arm; and the measured pair count byte-gates
+    // a broadcast of the keep-list so the corpus-sized `docs` side
+    // STREAMS through the semi-join instead of being exchanged (with its
+    // text column — the fattest bytes in the pipeline, guide §2.3/§2.4)
+    // to meet a pair-sized list. Past the gate: the former shuffle plan.
+    val candidates = candidates0.localCheckpoint()
+    val pairBytes = candidates.count() * 16L
+    val autoBar = broadcastLimitBytes(docs.sparkSession)
+    val bar = parseBytesConf(docs.sparkSession.conf
+      .get("graft.dedup.broadcastMaxBytes", "256MB"))
+    def gated(d: DataFrame, estBytes: Long) =
+      if (autoBar > 0 && estBytes <= bar) broadcast(d) else d
     val ids = candidates.select(col("a").as("doc_id"))
       .union(candidates.select(col("b").as("doc_id"))).distinct()
-    val sh = TextOps.shingles(docs.join(ids, Seq("doc_id"), "left_semi"))
+    val sh = TextOps.shingles(
+        docs.join(gated(ids, pairBytes), Seq("doc_id"), "left_semi"))
       .localCheckpoint() // feeds sizes + both sides of the common-count join
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = candidates
+    val common = gated(candidates, pairBytes)
       .join(sh.as("sx"), col("a") === col("sx.doc_id"))
       .join(sh.as("sy"),
         col("b") === col("sy.doc_id") && col("sx.shingle") === col("sy.shingle"))
@@ -290,7 +306,13 @@ object Dedup {
       .distinct()
 
     // Exact verification restricted to candidate pairs: count common
-    // shingles by joining each side's shingle set.
+    // shingles by joining each side's shingle set. (r16 note: a
+    // semi-filter of `sh` down to candidate docs — verifyCandidates'
+    // shape — was tried here and MEASURED ~0.3 s slower warm at sf0.1:
+    // the extra eager materializations cost more than the ~1M-row
+    // shingle exchanges they remove. At index scale the persisted-
+    // signature path minhashLshPairsFromSignatures/verifyCandidates is
+    // the one that runs, and it does carry the semi-filter.)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = candidates
       .join(sh.as("sx"), col("a") === col("sx.doc_id"))
@@ -668,9 +690,20 @@ object Dedup {
     */
   private[graft] def dedupClustersWithRounds(pairs: DataFrame)
       : (DataFrame, Int) = {
-    val edges = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    // Materialize the pair plan ONCE before mirroring it (r16): the
+    // union's two arms are two instances of the `pairs` subtree — for a
+    // lazy LSH/verification input the whole candidate generation +
+    // exact-verification pipeline executed TWICE inside the edge
+    // checkpoint (measured ~1-2 s per caller at sf0.1). Already-
+    // checkpointed inputs skip the extra hop.
+    val p = pairs.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => pairs
+      case _ => pairs.localCheckpoint()
+    }
+    val edges = p.select(col("a"), col("b"))
+      .union(p.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
+    if (!(p eq pairs)) graft.QueryDef.dropCheckpoint(p)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()

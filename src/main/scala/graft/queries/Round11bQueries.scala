@@ -126,8 +126,12 @@ object Round11bQueries {
   private def qualityCanonical(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val clusters = Dedup.dedupClusters(Dedup.minhashLshPairs(docs, 0.8))
+    // Materialized (r16): `cj` feeds two plan arms (m + canon) and its
+    // lineage contains the qualityScore TOKEN PASS over the corpus —
+    // lazily that pass ran twice per execution.
     val cj = clusters.join(
       TextAnalysis.qualityScore(docs).select("doc_id", "quality"), "doc_id")
+      .localCheckpoint()
     val m = cj.groupBy("cluster_id")
       .agg(max(col("quality")).as("best_quality"),
         count(lit(1)).as("n_members"))

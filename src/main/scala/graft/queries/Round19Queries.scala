@@ -61,12 +61,29 @@ object Round19Queries {
     // it per consumer would double the pipeline's dominant cost).
     val fr = Round6bQueries.filterReport(s, dir).localCheckpoint()
     val kept1 = fr.filter(col("reason") === "keep").select("doc_id")
-    val docs1 = docs.join(kept1, "doc_id")
+    // Byte-gated broadcast of the keep-list (r16, guide §2.3/§3.1): the
+    // checkpointed audit carries no stats, so both consumers of `docs1`
+    // (the LSH shingle pass and the quality scorer) planned the keep
+    // join as a SortMergeJoin that exchanged the corpus WITH ITS TEXT
+    // COLUMN — the fattest bytes in the pipeline — to meet an id list.
+    // Below the bar each consumer now streams the parquet scan through a
+    // BroadcastHashJoin; past it, the former shuffle plan.
+    val keptBytes = kept1.count() * 8L
+    val autoBar = Dedup.broadcastLimitBytes(s)
+    val bar = Dedup.parseBytesConf(
+      s.conf.get("graft.dedup.broadcastMaxBytes", "256MB"))
+    def gatedKeep(d: DataFrame) =
+      if (autoBar > 0 && keptBytes <= bar) broadcast(d) else d
+    val docs1 = docs.join(gatedKeep(kept1), "doc_id")
 
     // Stage 2: quality-canonical near-dup retention over survivors.
     val clusters = Dedup.dedupClusters(Dedup.minhashLshPairs(docs1, 0.8))
+    // Materialized (r16): `cj` feeds two plan arms (m + canon) and its
+    // lineage contains the qualityScore TOKEN PASS over the survivors —
+    // lazily that pass ran twice per execution (the x200 fix, same shape).
     val cj = clusters.join(
       TextAnalysis.qualityScore(docs1).select("doc_id", "quality"), "doc_id")
+      .localCheckpoint()
     val m = cj.groupBy("cluster_id").agg(max(col("quality")).as("bq"))
     val canon = cj.join(m, "cluster_id")
       .filter(col("quality") === col("bq"))
@@ -80,7 +97,8 @@ object Round19Queries {
         when(col("dup"), "near_dup").otherwise("keep").as("reason"))
       .localCheckpoint() // ledger + stage-3 input
     val docs2 = docs.join(
-      s2.filter(col("reason") === "keep").select("doc_id"), "doc_id")
+      gatedKeep(s2.filter(col("reason") === "keep").select("doc_id")),
+      "doc_id") // kept2 ⊆ kept1, so the measured byte gate still bounds it
       .localCheckpoint() // 3 consumers: ps, nt, selection
 
     // Stage 3: capacity-capped Hamilton apportionment (x187's recipe
