@@ -332,10 +332,14 @@ object PlanAudit {
     // The closure ran eagerly inside alternating-star (checkpointed
     // iterates → ExistingRDD); the blocking joins must stay equi-keyed
     // hash joins and the only nested-loop joins are 1-row broadcasts.
+    // Since r16 the admitted set is materialized at construction (its
+    // blocking+scoring subtree re-ran per consuming arm — 39 parquet
+    // scans in one plan), so the returned plan consumes checkpointed
+    // RDDs; the blocking joins' equi-keyed shape is still audited
+    // lazily through x221 above (same scoredCandidates path).
     check("x229_er_entities",
-      "blocking equi-keyed; closure consumed as checkpointed RDD; no cartesian",
-      p => !p.contains("CartesianProduct") && p.contains("ExistingRDD") &&
-        "BroadcastHashJoin \\[substring".r.findAllIn(p).length >= 1)
+      "closure consumed as checkpointed RDD; no cartesian in the tail",
+      p => !p.contains("CartesianProduct") && p.contains("ExistingRDD"))
     check("x235_bitext_mine",
       "smaller language block broadcast; both argmaxes WindowGroupLimit-pruned",
       p => p.contains("BroadcastNestedLoopJoin") &&

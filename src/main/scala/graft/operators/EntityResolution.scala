@@ -211,9 +211,15 @@ object EntityResolution {
         col("c_mktsegment").as("dseg"))
     val d = dirty(cust).unionByName(obs2)
     val sc = scoredCandidates(cust, d)
+    // Materialized (r16): `admitted` feeds three plan arms (the closure
+    // pairs, dirtyBest, and — through dm — the survivor election); lazily
+    // each arm re-ran the WHOLE blocking+levenshtein+distinct subtree,
+    // which is why the pre-r16 plan scanned the customer parquet 39
+    // times. The admitted set is match-band-sized — id-scale rows.
     val admitted = sc.filter(col("score") >= 3000L &&
       (lower(col("dname")) === lower(col("c_name")) ||
         length(col("dname")) =!= length(col("c_name"))))
+      .localCheckpoint()
 
     // Bipartite node encoding: clean key k -> 2k, dirty id -> 2*did+1.
     // Component minima are always clean nodes (a dirty record's own key
@@ -230,6 +236,7 @@ object EntityResolution {
       .select(col("cluster_id"), expr("(doc_id - 1) div 2").as("did"))
       .join(dirtyBest, "did")
       .crossJoin(broadcast(off))
+      .localCheckpoint() // two consumers: dirtyAgg + survivor election
     val dirtyAgg = dm.groupBy("cluster_id").agg(
       count(lit(1)).as("n_dirty"),
       sum((col("did") >= col("off") && col("did") < col("off") * 2)

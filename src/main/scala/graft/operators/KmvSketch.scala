@@ -38,11 +38,15 @@ object KmvSketch {
       .agg((count(col("b.h")) + 1).cast("long").as("rank"))
 
   def certify(spark: SparkSession, docs: DataFrame): DataFrame = {
+    // Materialized (r16): `grams` feeds the global distinct AND the
+    // per-source sketches — lazily both arms re-ran the tokenize+md5
+    // pipeline from the parquet scan up. Thin (source, hash) rows.
     val grams = TextOps.shingles(docs, 2)
       .join(docs.select("doc_id", "source"), "doc_id")
       .select(col("source"),
         conv(substring(md5(col("shingle").cast("binary")), 1, 13), 16, 10)
           .cast("long").as("h"))
+      .localCheckpoint()
     val hashes = grams.select("h").distinct().localCheckpoint()
 
     // Per-source bottom-K (the shard sketches), then merge-of-sketches.

@@ -48,10 +48,15 @@ object LshTuning {
     */
   def sweep(spark: SparkSession, docs: DataFrame,
       threshold: Double = 0.8): DataFrame = {
-    val sigs = TextOps.shingles(docs).groupBy("doc_id")
+    // One shingle pass (r16): the signature aggregate and the exact-truth
+    // pair join consumed two independent tokenize→explode pipelines over
+    // the same corpus; both now read one materialized shingle set (the
+    // ngramJaccardPairsFromShingles entry exists for exactly this).
+    val sh = TextOps.shingles(docs).localCheckpoint()
+    val sigs = sh.groupBy("doc_id")
       .agg(mhCol(0), (1 until P).map(mhCol): _*)
       .localCheckpoint()
-    val truth = Dedup.ngramJaccardPairs(docs, threshold)
+    val truth = Dedup.ngramJaccardPairsFromShingles(sh, threshold)
       .select("a", "b").localCheckpoint()
 
     val rows = configs.map { case (b, r) =>

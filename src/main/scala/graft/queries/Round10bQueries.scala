@@ -59,9 +59,13 @@ object Round10bQueries {
         .agg(min(col("v")).as(out))
     }
     val m1 = lowerMedian(docs.select(col("n_chars").as("v")), "med")
+    // Materialized (r16): `dv` feeds the MAD chain AND the output — each
+    // reference re-ran the median rank-join from the parquet scan up
+    // (13 scans in the pre-r16 plan). id+two-ints rows, corpus-count-sized.
     val dv = docs.crossJoin(broadcast(m1))
       .select(col("doc_id"), col("n_chars"),
         abs(col("n_chars") - col("med")).as("dev"))
+      .localCheckpoint()
     val m2 = lowerMedian(dv.select(col("dev").as("v")), "mad")
     dv.crossJoin(broadcast(m2))
       .select(col("doc_id"), col("n_chars"), col("dev"),
