@@ -36,7 +36,10 @@ object ClusterEval {
     val vecs = KMeansLite.vectors(emb)
     val c0 = KMeansLite.initCentroids(vecs, K)
     val a1 = KMeansLite.assign(vecs, c0)
-    val c1 = KMeansLite.recompute(a1)
+    // Materialized (r16): c1 feeds the second assignment AND the
+    // silhouette distance grid — lazily each broadcast re-ran the whole
+    // first k-means iteration (7 parquet scans in one plan). K rows.
+    val c1 = KMeansLite.recompute(a1).localCheckpoint()
     val a2 = KMeansLite.assign(vecs, c1) // (vec_id, cid, v)
 
     val d2 = dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv")) +

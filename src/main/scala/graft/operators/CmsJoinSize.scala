@@ -39,8 +39,12 @@ object CmsJoinSize {
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   def estimate(spark: SparkSession, dir: String): DataFrame = {
+    // Materialized (r16): `deg` feeds the sketch AND the exact truth, and
+    // `ests` (D rows) feeds three report legs — lazily each re-ran the
+    // events aggregate (5 scans / 16 exchanges in one plan).
     val deg = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     val cells = deg.select(explode(array((1 to D).map(i => struct(
         lit(i.toLong).as("r"),
         (h60(concat(lit(s"$i:"), col("user_id").cast("string"))) % W)
@@ -50,6 +54,7 @@ object CmsJoinSize {
       .groupBy("r", "b").agg(sum(col("d")).as("c"))
     val ests = cells.groupBy("r")
       .agg(sum(col("c") * col("c")).as("est"))
+      .localCheckpoint()
     val truth = deg.agg(sum(col("d") * col("d")).as("t"))
     val estMin = ests.agg(min(col("est")).as("m"))
     ests.select(concat(lit("est_row_"), col("r").cast("string")).as("stat"),

@@ -58,7 +58,11 @@ object Dsir {
 
     val bucket = (conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
       .cast("long") % F).as("b")
+    // Materialized (r16): five aggregate consumers (target/raw bucket
+    // counts, both totals, per-doc weights) each re-ran the tokenize+md5
+    // pipeline lazily. Thin (doc, bucket) rows.
     val bt = TextOps.tokens(docs).select(col("doc_id"), bucket)
+      .localCheckpoint()
 
     // DENSE bucket spine (the x202 lesson): an empty bucket must exist
     // with count 0 or its smoothed λ silently vanishes from doc sums.

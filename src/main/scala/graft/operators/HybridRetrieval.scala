@@ -49,15 +49,22 @@ object HybridRetrieval {
     * probe doc's distinct tokens. df is query-sized by construction.
     */
   private def lexRanks(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(docs)
+    // Materialized (r16): `toks` feeds three consumers (tf, dl, qterms),
+    // `dl` two (stats + the scoring join), `tfQ` two (dfreq + scoring) —
+    // lazily each re-ran the tokenize pipeline (x217/x218 scanned the
+    // documents parquet 9 times each pre-r16). All three are thin:
+    // (doc, word) rows at most.
+    val toks = TextOps.tokens(docs).localCheckpoint()
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint()
     val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
       sum(col("dl")).cast("double").as("tot"))
     val qterms = toks.filter(col("doc_id").isin(Probes: _*))
       .select(col("doc_id").as("pid"), col("w")).distinct()
     val tfQ = tf.join(broadcast(qterms.select("w").distinct()), Seq("w"),
       "left_semi")
+      .localCheckpoint()
     val dfreq = tfQ.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
 
     val avgdl = col("tot") / col("nd")

@@ -168,7 +168,10 @@ object KMeansLite {
       "x122_semdedup",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
+        // Materialized (r16): both sides of the in-cluster pair join
+        // lazily re-ran the whole two-iteration k-means trajectory.
         val assigned = kmeans(Tables.embeddings(s, dir), k = 4, iters = 2)
+          .localCheckpoint()
         val a = assigned.select(col("cid"), col("vec_id").as("a"),
           col("v").as("va"))
         val b = assigned.select(col("cid"), col("vec_id").as("b"),

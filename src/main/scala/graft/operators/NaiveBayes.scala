@@ -63,9 +63,15 @@ object NaiveBayes {
     val train = docs.filter(col("doc_id") % 10 < 8)
     val test = docs.filter(col("doc_id") % 10 >= 8)
 
+    // Materialized (r16): `ttr` feeds three aggregates (cwc, nc, vocab)
+    // and each lazily re-ran the tokenize pipeline — the pre-r16 plan
+    // scanned the documents parquet 19 times. Same for `cwc` (model
+    // sizing probe + scoring join) and `scored` (argmin's two steps).
     val ttr = TextOps.tokens(train)
       .join(train.select(col("doc_id"), col("lang").as("c")), "doc_id")
+      .localCheckpoint()
     val cwc = ttr.groupBy("c", "w").agg(count(lit(1)).as("cwc"))
+      .localCheckpoint()
     val nc = ttr.groupBy("c").agg(count(lit(1)).as("nc"))
     val vocab = ttr.agg(count_distinct(col("w")).as("v"))
     val dcnt = train.groupBy(col("lang").as("c")).agg(count(lit(1)).as("dc"))
@@ -105,6 +111,7 @@ object NaiveBayes {
             (col("nc").cast("double") + col("v"))))).as("s"))
       .groupBy("doc_id", "c")
       .agg((sum(col("s")) + max(col("prior_unat"))).as("score"))
+      .localCheckpoint() // argmin consumes it twice (mn + the tie filter)
 
     // Exact argmin with total tie-break (min class name among the tied) —
     // the two-step rendering, since single-pass min_by is

@@ -738,6 +738,10 @@ object Similarity {
       .groupBy("qid", "vec_id")
       .agg(min(col("lv")).as("lvl"),
         round(cosine(first(col("e")), first(col("q"))), 6).as("cos_sim"))
+    // (r16 note: a checkpoint here would halve the banded pass — x185
+    // consumes this twice — but it hides the bucket equi-join from the
+    // x185/x230 plan audits, which certify the routing shape; the ~1 s
+    // is not worth blinding the audit.)
   }
 
   def annRerankFloor(spark: SparkSession, emb: DataFrame): DataFrame = {

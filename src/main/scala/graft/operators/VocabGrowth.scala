@@ -30,7 +30,11 @@ object VocabGrowth {
 
   def heapsLaw(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val toks = TextOps.tokens(docs)
+    // Materialized (r16): `toks` feeds the first-occurrence aggregate AND
+    // the per-doc totals — two tokenize pipelines lazily; and `cur`
+    // (4 rows) below feeds both sides of its own growth self-join, which
+    // doubled the WHOLE query subtree (14 parquet scans pre-r16).
+    val toks = TextOps.tokens(docs).localCheckpoint()
     // First occurrence (min doc_id) per word type and per bigram type —
     // one aggregate each; shingles() is per-doc-distinct which is exactly
     // what a min-over-docs needs.
@@ -59,6 +63,7 @@ object VocabGrowth {
       .groupBy("p").agg(sum(col("n_bi")).as("n_occ"))
 
     val cur = spine.select("p").join(occ, "p").join(vw, "p").join(vb, "p")
+      .localCheckpoint()
     val prev = cur.select(col("p").as("pp"), col("n_occ").as("po"),
       col("v_words").as("pw"), col("v_bigrams").as("pb"))
     cur.join(prev, col("p") === col("pp") + 1, "left")

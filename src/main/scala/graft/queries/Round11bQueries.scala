@@ -197,18 +197,36 @@ object Round11bQueries {
     val edges = graft.operators.CoPurchaseGraph.strong(s, dir)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
+      // Materialized (r16): |V| rows; also the byte-gate measurement.
+      .localCheckpoint()
+    // r16 (guide §2.4/§3.1): `cnt` was referenced twice per round (mx +
+    // the tie-break join), so the lazy 3-round plan held 2³ copies of
+    // round 1 — 58 Exchanges / 21 SortMergeJoins in one plan. Each round
+    // now materializes its plurality table once, and the |V|-sized sides
+    // (labels, mx) broadcast under the measured node-count gate so the
+    // edge list streams from the shared checkpointed blocks. Past the
+    // bar every join falls back to the former shuffle plan.
+    val nodeBytes = labels.count() * 16L
+    val autoBar = graft.operators.Dedup.broadcastLimitBytes(s)
+    val bar = graft.operators.Dedup.parseBytesConf(
+      s.conf.get("graft.graph.broadcastMaxBytes", "256MB"))
+    def gated(d: DataFrame) =
+      if (autoBar > 0 && nodeBytes <= bar) broadcast(d) else d
     for (_ <- 1 to 3) {
       val cnt = edges
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .join(gated(labels.withColumnRenamed("node", "dst")), "dst")
         .groupBy(col("src").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val mx = cnt.groupBy("node").agg(max(col("c")).as("mc"))
-      labels = cnt.join(mx, "node").filter(col("c") === col("mc"))
+      val next = cnt.join(gated(mx), "node").filter(col("c") === col("mc"))
         .groupBy("node").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      graft.QueryDef.dropCheckpoint(labels)
+      graft.QueryDef.dropCheckpoint(cnt)
+      labels = next
     }
-    // NO dropCheckpoint here: the returned frame is lazy and its 3-round
-    // lineage still reads the checkpointed edge blocks (x43's final
-    // iterate is itself checkpointed, which is why IT can drop the edge
-    // store — this plan is not). The per-query bench sweep reclaims it.
+    // The final iterate is checkpointed; the aggregate below reads its
+    // blocks. The per-query bench sweep reclaims them.
     labels.groupBy("lbl")
       .agg(count(lit(1)).as("n_members"), min(col("node")).as("first_member"))
       .select(col("lbl").as("community"), col("n_members"), col("first_member"))

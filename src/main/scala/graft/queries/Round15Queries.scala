@@ -42,6 +42,7 @@ object Round15Queries {
         col("label").cast("long").as("a"),
         when(col("vec_id") % 9 === 4, (col("label") + 1) % col("nc"))
           .otherwise(col("label")).cast("long").as("b"))
+      .localCheckpoint() // three aggregate consumers (r16)
     val agree = pairs.agg(
       count(lit(1)).as("n"),
       sum((col("a") === col("b")).cast("long")).as("agree"))

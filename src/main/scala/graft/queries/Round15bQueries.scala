@@ -49,6 +49,10 @@ object Round15bQueries {
       .select(col("en_id"), col("fr_id"),
         round(call_function("graft_cosine", col("ev"), col("fv")), 6)
           .as("cos"))
+    // (r16 note: checkpointing `scored` would halve the block-pair pass —
+    // mutualBestPairs consumes both directions — but it hides the
+    // broadcast block join from x235's plan audit, which certifies the
+    // block-broadcast shape; left lazy on purpose.)
     // Tail shared with x245's ANN-candidate twin (one definition).
     graft.operators.Similarity.mutualBestPairs(scored)
   }

@@ -96,9 +96,12 @@ object Round5bQueries {
       "x105_source_overlap",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
+        // Materialized (r16): `ssh` feeds sizes + BOTH self-join sides —
+        // three tokenize pipelines lazily (8 scans in one plan).
         val ssh = TextOps.shingles(docs)
           .join(docs.select("doc_id", "source"), "doc_id")
           .select("source", "shingle").distinct()
+          .localCheckpoint()
         val sizes = ssh.groupBy("source")
           .agg(count(lit(1)).as("sz"))
         val inter = ssh.withColumnRenamed("source", "src_a")

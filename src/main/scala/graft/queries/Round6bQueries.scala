@@ -31,7 +31,11 @@ object Round6bQueries {
           case None    => base
           case Some(p) => base.join(p, "user_id").filter(col("ts") > col(s"t$i"))
         }
-        Some(gated.groupBy("user_id").agg(min("ts").as(s"t${i + 1}")))
+        // Materialized (r16): step i feeds step i+1's gate AND its own
+        // count AND (step 1) the base — lazily the funnel re-ran the
+        // whole prefix per consumer (7 event scans in one plan).
+        Some(gated.groupBy("user_id").agg(min("ts").as(s"t${i + 1}"))
+          .localCheckpoint())
     }.flatten
     val counts = reached.zipWithIndex.map { case (df, i) =>
       df.agg(count(lit(1)).as("users"))
@@ -355,6 +359,7 @@ object Round6bQueries {
     val h = conv(substring(md5(col("user_id").cast("string").cast("binary")),
       1, 8), 16, 10).cast("long")
     val samp = longDf.crossJoin(broadcast(sMod)).filter(h % col("s") === 0)
+      .localCheckpoint() // ~256-user sample; two aggregate consumers
     val ns = samp.groupBy("dim").agg(count(lit(1)).as("ns"))
     val hist = samp.groupBy("dim", "v").agg(count(lit(1)).as("c"))
     val cum = hist.as("a").join(hist.as("b"),
@@ -369,7 +374,11 @@ object Round6bQueries {
 
   private def rfm(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-    val longDf = rfmMetricsLong(s, dir)
+    // Materialized (r16): the long metric table feeds the cutpoint
+    // derivation (itself 3 consumers) AND the quintile assignment —
+    // lazily the per-user events aggregate re-ran per consumer (7 scans
+    // / 17 exchanges in one plan). user_id×3 thin rows.
+    val longDf = rfmMetricsLong(s, dir).localCheckpoint()
     val cuts = rfmCutpoints(s, longDf)
     // Map-side quintile assignment: r ascending (1 = most recent),
     // f/m descending (1 = highest) — same orientation as the old ntile.
@@ -676,9 +685,13 @@ object Round6bQueries {
     */
   private def sourceDrift(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
+    // Materialized (r16): three aggregate consumers (corpus vocab,
+    // per-source totals, per-source counts) each re-ran the tokenize
+    // pipeline lazily.
     val toks = Tables.documents(s, dir).select(col("source"),
       explode(filter(split(lower(col("text")), " "),
         (w: org.apache.spark.sql.Column) => w =!= "")).as("w"))
+      .localCheckpoint()
     val corpus = toks.groupBy("w").agg(count(lit(1)).as("c"))
     val total = corpus.agg(sum(col("c")).as("n"))
     val vocab = corpus.crossJoin(broadcast(total))
