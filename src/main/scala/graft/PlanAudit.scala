@@ -340,6 +340,22 @@ object PlanAudit {
     check("x229_er_entities",
       "closure consumed as checkpointed RDD; no cartesian in the tail",
       p => !p.contains("CartesianProduct") && p.contains("ExistingRDD"))
+    // ADVICE r16: x229's admitted subtree executes AT the checkpoint, so
+    // its blocking shape is invisible in the returned plan above. Audit
+    // the pre-checkpoint subtree directly (x229's own construction, not
+    // x221's — they could diverge): collect a copy to finalize AQE, then
+    // hold it to the same substring-keyed-BHJ / no-cartesian bar.
+    locally {
+      val adm = graft.operators.EntityResolution
+        .entitiesAdmittedLazy(Tables.customer(spark, dir))
+      adm.collect()
+      val p = adm.queryExecution.executedPlan.toString
+      val ok = !p.contains("CartesianProduct") &&
+        "BroadcastHashJoin \\[substring".r.findAllIn(p).length >= 1 &&
+        "BroadcastHashJoin \\[dnation".r.findAllIn(p).length >= 1
+      if (!ok) failed += 1
+      println(f"${"x229_er_entities"}%-22s ${"pre-checkpoint blocking substring-keyed BHJs"}%-44s ${if (ok) "OK" else "MISSING"}")
+    }
     check("x235_bitext_mine",
       "smaller language block broadcast; both argmaxes WindowGroupLimit-pruned",
       p => p.contains("BroadcastNestedLoopJoin") &&

@@ -33,7 +33,9 @@ object ClusterEval {
     graft.functions.GraftFunctions.register(spark)
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       call_function("graft_dot", a, b)
-    val vecs = KMeansLite.vectors(emb)
+    // Materialized (r17): vecs feeds the init TakeOrdered and both
+    // assignment passes — each re-ran the parquet scan + cast.
+    val vecs = KMeansLite.vectors(emb).localCheckpoint()
     val c0 = KMeansLite.initCentroids(vecs, K)
     val a1 = KMeansLite.assign(vecs, c0)
     // Materialized (r16): c1 feeds the second assignment AND the

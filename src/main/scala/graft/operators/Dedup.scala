@@ -226,6 +226,15 @@ object Dedup {
   /** Exact-Jaccard verification of candidate (a, b) pairs: only the
     * candidate DOCS' text is shingled (left-semi on the pair ids), so at
     * scale this is point lookups into the corpus, not a rescan.
+    *
+    * EAGER at construction (ADVICE r16, accepted under the repo's
+    * construction-runs-jobs convention): the candidate plan — typically
+    * the LSH bucket join — is localCheckpointed and counted here, so
+    * candidate generation executes before any plan is returned; callers
+    * that only want the physical plan (audits, explain tooling) pay that
+    * execution, and a candidate-side failure surfaces at construction
+    * time. The count itself reads the already-checkpointed blocks, not
+    * the lineage.
     */
   def verifyCandidates(docs: DataFrame, candidates0: DataFrame,
       threshold: Double): DataFrame = {
@@ -239,11 +248,10 @@ object Dedup {
     // to meet a pair-sized list. Past the gate: the former shuffle plan.
     val candidates = candidates0.localCheckpoint()
     val pairBytes = candidates.count() * 16L
-    val autoBar = broadcastLimitBytes(docs.sparkSession)
-    val bar = parseBytesConf(docs.sparkSession.conf
-      .get("graft.dedup.broadcastMaxBytes", "256MB"))
+    val bar = effectiveBroadcastBar(docs.sparkSession,
+      "graft.dedup.broadcastMaxBytes")
     def gated(d: DataFrame, estBytes: Long) =
-      if (autoBar > 0 && estBytes <= bar) broadcast(d) else d
+      if (bar > 0 && estBytes <= bar) broadcast(d) else d
     val ids = candidates.select(col("a").as("doc_id"))
       .union(candidates.select(col("b").as("doc_id"))).distinct()
     val sh = TextOps.shingles(
@@ -666,6 +674,44 @@ object Dedup {
     */
   private[graft] def broadcastLimitBytes(spark: org.apache.spark.sql.SparkSession): Long =
     parseBytesConf(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+
+  /** A broadcast hash relation occupies ~2-4x its raw key/value bytes
+    * once UnsafeRow framing and the hash table are built (ADVICE r16);
+    * gates charge the conservative end.
+    */
+  private[graft] val RelationOverhead = 4L
+
+  private val DefaultAutoBar = 10L << 20 // Spark's autoBroadcastJoinThreshold default
+
+  /** Effective RAW-bytes bar for a forced-broadcast byte gate (every
+    * `graft.*.broadcastMaxBytes` site routes through here since r17).
+    * Two ADVICE-r16 corrections fold in:
+    *  - the configured bar (default 256 MB) is divided by
+    *    [[RelationOverhead]] before comparing against raw-byte estimates,
+    *    so the bar bounds the BUILT relation's memory (~256 MB), not
+    *    ~1 GB of driver+executor footprint;
+    *  - a session that LOWERS `spark.sql.autoBroadcastJoinThreshold`
+    *    below its 10 MB default is asking for smaller broadcasts, so the
+    *    bar scales down proportionally instead of only consulting the
+    *    sign (raising it above the default does NOT raise graft bars).
+    * Returns 0 when auto-broadcast is disabled (<= 0): every gate then
+    * takes its exact fallback shuffle plan. Callers must keep the
+    * `bar > 0 &&` guard so a 0-byte estimate never broadcasts when
+    * broadcasting is disabled.
+    */
+  private[graft] def effectiveBroadcastBar(
+      spark: org.apache.spark.sql.SparkSession, confKey: String): Long = {
+    val autoBar = broadcastLimitBytes(spark)
+    if (autoBar <= 0) 0L
+    else {
+      val conf = parseBytesConf(spark.conf.get(confKey, "256MB"))
+      val scaled =
+        if (autoBar < DefaultAutoBar)
+          math.max(1L, (conf.toDouble * autoBar / DefaultAutoBar).toLong)
+        else conf
+      math.max(1L, scaled / RelationOverhead)
+    }
+  }
 
   /** Connected components over the near-dup pair graph — the cluster step
     * a dedup pipeline runs after pair generation (keep one doc per

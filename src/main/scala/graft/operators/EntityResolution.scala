@@ -199,7 +199,14 @@ object EntityResolution {
     * column exists for exactly this), rather than being silently
     * resolved either way.
     */
-  def entities(spark: SparkSession, cust: DataFrame): DataFrame = {
+  /** The LAZY pre-checkpoint admitted-match subtree of [[entities]]
+    * (observation stream + blocking + scoring + admission filter),
+    * factored out so PlanAudit can assert its blocking-join shape
+    * (substring-keyed BroadcastHashJoins, no cartesian) on the plan that
+    * actually executes at the checkpoint — [[entities]]' returned plan
+    * only shows the checkpointed RDD (ADVICE r16).
+    */
+  private[graft] def entitiesAdmittedLazy(cust: DataFrame): DataFrame = {
     val off = cust.agg(
       ((floor(max(col("c_custkey")) / 10000) + 1) * 10000).as("off"))
     val obs2 = cust.filter(col("c_custkey") % 2 === 0)
@@ -211,15 +218,20 @@ object EntityResolution {
         col("c_mktsegment").as("dseg"))
     val d = dirty(cust).unionByName(obs2)
     val sc = scoredCandidates(cust, d)
+    sc.filter(col("score") >= 3000L &&
+      (lower(col("dname")) === lower(col("c_name")) ||
+        length(col("dname")) =!= length(col("c_name"))))
+  }
+
+  def entities(spark: SparkSession, cust: DataFrame): DataFrame = {
+    val off = cust.agg(
+      ((floor(max(col("c_custkey")) / 10000) + 1) * 10000).as("off"))
     // Materialized (r16): `admitted` feeds three plan arms (the closure
     // pairs, dirtyBest, and — through dm — the survivor election); lazily
     // each arm re-ran the WHOLE blocking+levenshtein+distinct subtree,
     // which is why the pre-r16 plan scanned the customer parquet 39
     // times. The admitted set is match-band-sized — id-scale rows.
-    val admitted = sc.filter(col("score") >= 3000L &&
-      (lower(col("dname")) === lower(col("c_name")) ||
-        length(col("dname")) =!= length(col("c_name"))))
-      .localCheckpoint()
+    val admitted = entitiesAdmittedLazy(cust).localCheckpoint()
 
     // Bipartite node encoding: clean key k -> 2k, dirty id -> 2*did+1.
     // Component minima are always clean nodes (a dirty record's own key

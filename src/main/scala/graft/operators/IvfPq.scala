@@ -35,7 +35,10 @@ object IvfPq {
 
   def ivfPqRecall(spark: SparkSession, emb: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val vecs = KMeansLite.vectors(emb)
+    // Materialized (r17): vecs feeds the coarse trainer (init + two
+    // assignments), the probe set, and the exact side — the same
+    // re-scan shape pqRecall had (r16 sweep residual). One narrow scan.
+    val vecs = KMeansLite.vectors(emb).localCheckpoint()
 
     // Coarse quantizer: the x101 trajectory (init → assign → decimal
     // recompute → assign) on the full 64-d vectors.

@@ -50,7 +50,11 @@ object KMeansLite {
     * k is a constant, so the join is O(k²) rows at any corpus size.
     */
   def initCentroids(vecs: DataFrame, k: Int): DataFrame = {
-    val top = vecs.orderBy("vec_id").limit(k)
+    // Materialized (r17): `top` feeds BOTH arms of the rank self-join, so
+    // the lazy TakeOrdered — a full corpus scan — used to execute twice
+    // per consumer (and initCentroids has ~11 consumers across the
+    // PQ/IVF-PQ subspace trainers alone). k rows, trivially checkpointed.
+    val top = vecs.orderBy("vec_id").limit(k).localCheckpoint()
     top.as("a").join(top.as("b"), col("b.vec_id") < col("a.vec_id"), "left")
       .groupBy(col("a.vec_id").as("vid"), col("a.v").as("cv"))
       .agg(count(col("b.vec_id")).cast("long").as("cid"))
@@ -93,7 +97,10 @@ object KMeansLite {
 
   /** Fixed-iteration Lloyd's: returns the final assignment. */
   def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val vecs = vectors(emb)
+    // Materialized (r17): vecs feeds the init TakeOrdered plus one
+    // assignment pass per iteration — each re-ran the parquet scan +
+    // elementwise cast. One narrow scan, checkpointed once.
+    val vecs = vectors(emb).localCheckpoint()
     var cents = initCentroids(vecs, k)
     var assigned = assign(vecs, cents)
     for (_ <- 1 until iters) {

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -48,11 +48,12 @@ object LangModel {
     * training input).
     */
   def bigramNll(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-    val bi = TextOps.tokens(docs)
-      .select(col("doc_id"), col("w").as("w1"),
-        lead(col("w"), 1).over(win).as("w2"))
-      .filter(col("w2").isNotNull)
+    // NARROW since r17 (guide §2.4): the bigram stream is a zip of the
+    // token array with its own 1-shift — the previous lead()-over-window
+    // rendering exchanged + sorted the full token stream, and `bi` feeds
+    // THREE plan arms (c2, c1, the scoring join), so that shuffle ran
+    // three times per execution.
+    val bi = TextOps.bigramPairs(docs)
     val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = TextOps.tokens(docs)
@@ -70,10 +71,8 @@ object LangModel {
           .as("chars"))
       .select((col("n") * 16L + col("chars")).as("bytes"))
       .head().getLong(0)
-    val autoBar = Dedup.broadcastLimitBytes(spark)
-    val bar = Dedup.parseBytesConf(
-      spark.conf.get("graft.lm.broadcastMaxBytes", "256MB"))
-    val small = autoBar > 0 && modelBytes <= bar
+    val bar = Dedup.effectiveBroadcastBar(spark, "graft.lm.broadcastMaxBytes")
+    val small = bar > 0 && modelBytes <= bar
     def gated(model: DataFrame): DataFrame =
       if (small) broadcast(model) else model
 

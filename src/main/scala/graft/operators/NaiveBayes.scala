@@ -93,9 +93,8 @@ object NaiveBayes {
           .as("chars"))
       .select((col("n") * 16L + col("chars")).as("bytes"))
       .head().getLong(0)
-    val small = Dedup.broadcastLimitBytes(spark) > 0 &&
-      modelBytes <= Dedup.parseBytesConf(
-        spark.conf.get("graft.nb.broadcastMaxBytes", "256MB"))
+    val nbBar = Dedup.effectiveBroadcastBar(spark, "graft.nb.broadcastMaxBytes")
+    val small = nbBar > 0 && modelBytes <= nbBar
     def gated(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
     // Score the test token-TYPE table against every class: left join the

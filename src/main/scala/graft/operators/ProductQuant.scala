@@ -90,7 +90,11 @@ object ProductQuant {
     */
   def pqRecall(spark: SparkSession, emb: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val vecs = KMeansLite.vectors(emb)
+    // Materialized (r17): vecs feeds all four subspace trainers (init +
+    // two assignment passes each), the probe set, and the exact side —
+    // lazily every one re-ran the parquet scan + double cast (the r16
+    // sweep's residual "7 scans"). One narrow scan, checkpointed once.
+    val vecs = KMeansLite.vectors(emb).localCheckpoint()
     val trained = (0 until PQ.m).map(s => trainSubspace(vecs, s))
     val codes = trained.map(_._1).reduce(_.join(_, "vec_id"))
 

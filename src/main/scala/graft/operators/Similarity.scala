@@ -847,11 +847,9 @@ object Similarity {
     val (nFr, dim) = (frStats.getLong(0), frStats.getInt(1))
     val probeBytes = nFr * bands.toLong * masks.size * 32L
     val vecBytes = nFr * (24L + dim.toLong * 8L)
-    val autoBar = Dedup.broadcastLimitBytes(spark)
-    val bar = Dedup.parseBytesConf(
-      spark.conf.get("graft.ann.broadcastMaxBytes", "256MB"))
+    val bar = Dedup.effectiveBroadcastBar(spark, "graft.ann.broadcastMaxBytes")
     def gated(df: DataFrame, bytes: Long): DataFrame =
-      if (autoBar > 0 && bytes <= bar) broadcast(df) else df
+      if (bar > 0 && bytes <= bar) broadcast(df) else df
     // Candidates are deduped as BARE ID PAIRS before any vector travels:
     // the bucket join fans each pair out once per matching (band, mask),
     // and carrying the two 64-double arrays through that fanout into the
@@ -916,14 +914,21 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
       maxTrain: Int = 1024): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val vecs = KMeansLite.vectors(emb)
+    // Materialized (r17): vecs feeds the step count, the train sample,
+    // the global assignment and the query row — each re-ran the parquet
+    // scan + cast lazily. One narrow scan.
+    val vecs = KMeansLite.vectors(emb).localCheckpoint()
 
     // step = ceil(n / maxTrain) as a 1-row subquery — the plan stays lazy.
     val stepDF = vecs.agg(greatest(lit(1L),
       expr(s"(count(1) + ${maxTrain - 1}) div $maxTrain")).as("step"))
+    // Materialized (r17): the sample subtree appears once per init/assign
+    // reference INSIDE the single trajectory plan executed at the cents
+    // checkpoint — ≤maxTrain rows, checkpointed once.
     val sample = vecs.crossJoin(broadcast(stepDF))
       .filter(pmod(col("vec_id"), col("step")) === 0)
       .select("vec_id", "v")
+      .localCheckpoint()
 
     var cents = KMeansLite.initCentroids(sample, nlist)
     for (_ <- 0 until iters)
@@ -1001,12 +1006,14 @@ object Similarity {
         if (adopted) () else {
         // dropTable also unregisters a half-adopted pair member
         Seq(cellTbl, centTbl).foreach(StoredTables.dropTable(spark, _))
-        val vecs = KMeansLite.vectors(emb)
+        // Same r17 materializations as [[ivfTopK]] (one-time build path).
+        val vecs = KMeansLite.vectors(emb).localCheckpoint()
         val stepDF = vecs.agg(greatest(lit(1L),
           expr(s"(count(1) + ${maxTrain - 1}) div $maxTrain")).as("step"))
         val sample = vecs.crossJoin(broadcast(stepDF))
           .filter(pmod(col("vec_id"), col("step")) === 0)
           .select("vec_id", "v")
+          .localCheckpoint()
         var cents = KMeansLite.initCentroids(sample, nlist)
         for (_ <- 0 until iters)
           cents = KMeansLite.recompute(KMeansLite.assign(sample, cents))

@@ -93,12 +93,10 @@ object Round10Queries {
     // shared projection so ReuseExchange builds the relation once per
     // round for all three consuming joins. Past the bar each join falls
     // back to the exact shuffle plan this replaced.
-    val autoBar = Dedup.broadcastLimitBytes(s)
-    val bar = Dedup.parseBytesConf(
-      s.conf.get("graft.graph.broadcastMaxBytes", "256MB"))
+    val bar = Dedup.effectiveBroadcastBar(s, "graft.graph.broadcastMaxBytes")
     val nodeBytes = deg.count() * 16L
     def gated(d: DataFrame, estBytes: Long) =
-      if (autoBar > 0 && estBytes <= bar) broadcast(d) else d
+      if (bar > 0 && estBytes <= bar) broadcast(d) else d
     var removed: List[DataFrame] = Nil
     var rounds = 0
     var converged = false

@@ -34,12 +34,10 @@ object Round11Queries {
     * doc_id — per-partition state is one doc's tokens, bounded by doc
     * length at any corpus size.
     */
-  private def bigramStream(docs: DataFrame): DataFrame = {
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-    TextOps.tokens(docs)
-      .select(col("w"), lead(col("w"), 1).over(win).as("w2"))
-      .filter(col("w2").isNotNull)
-  }
+  private def bigramStream(docs: DataFrame): DataFrame =
+    // NARROW since r17: shared zip construction (TextOps.bigramPairs) —
+    // the lead() window exchanged + sorted the token stream per use.
+    TextOps.bigramPairs(docs).select(col("w1").as("w"), col("w2"))
 
   // ---- x194: PMI collocations -------------------------------------------
 

@@ -207,11 +207,10 @@ object Round11bQueries {
     // edge list streams from the shared checkpointed blocks. Past the
     // bar every join falls back to the former shuffle plan.
     val nodeBytes = labels.count() * 16L
-    val autoBar = graft.operators.Dedup.broadcastLimitBytes(s)
-    val bar = graft.operators.Dedup.parseBytesConf(
-      s.conf.get("graft.graph.broadcastMaxBytes", "256MB"))
+    val bar = graft.operators.Dedup.effectiveBroadcastBar(
+      s, "graft.graph.broadcastMaxBytes")
     def gated(d: DataFrame) =
-      if (autoBar > 0 && nodeBytes <= bar) broadcast(d) else d
+      if (bar > 0 && nodeBytes <= bar) broadcast(d) else d
     for (_ <- 1 to 3) {
       val cnt = edges
         .join(gated(labels.withColumnRenamed("node", "dst")), "dst")

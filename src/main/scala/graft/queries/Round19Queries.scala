@@ -69,11 +69,9 @@ object Round19Queries {
     // Below the bar each consumer now streams the parquet scan through a
     // BroadcastHashJoin; past it, the former shuffle plan.
     val keptBytes = kept1.count() * 8L
-    val autoBar = Dedup.broadcastLimitBytes(s)
-    val bar = Dedup.parseBytesConf(
-      s.conf.get("graft.dedup.broadcastMaxBytes", "256MB"))
+    val bar = Dedup.effectiveBroadcastBar(s, "graft.dedup.broadcastMaxBytes")
     def gatedKeep(d: DataFrame) =
-      if (autoBar > 0 && keptBytes <= bar) broadcast(d) else d
+      if (bar > 0 && keptBytes <= bar) broadcast(d) else d
     val docs1 = docs.join(gatedKeep(kept1), "doc_id")
 
     // Stage 2: quality-canonical near-dup retention over survivors.

@@ -28,17 +28,13 @@ object Round5fQueries {
       "x126_dup_spans",
       (s, dir) => {
         val k = 5
-        val toks = filter(split(lower(col("text")), " "),
-          (w: Column) => w =!= "")
-        val grams = Tables.documents(s, dir)
-          .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
-          .withColumn("gram", {
-            val win = Window.partitionBy("doc_id").orderBy("pos")
-            (1 until k).foldLeft(col("w")) { (acc, i) =>
-              concat(acc, lit(" "), lead(col("w"), i).over(win))
-            }
-          })
-          .filter(col("gram").isNotNull)
+        // NARROW since r17 (shared TextOps.positionedGrams): the gram
+        // stream is glued from the token array — no token-stream
+        // exchange/sort. pos is now 1-based (was 0-based); every
+        // downstream use (lag difference, island break, max+k-min) is
+        // shift-invariant, so the output is unchanged.
+        val grams = graft.operators.TextOps
+          .positionedGrams(Tables.documents(s, dir), k)
         val spread = grams.groupBy("gram")
           .agg(countDistinct(col("doc_id")).as("nd"))
         val dup = grams.join(spread, "gram").filter(col("nd") > 1)
@@ -145,20 +141,18 @@ object Round5fQueries {
           (w: Column) => w =!= "")
         val tokensOf = Tables.documents(s, dir)
           .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
-        val grams = tokensOf
-          .withColumn("gram", {
-            val win = Window.partitionBy("doc_id").orderBy("pos")
-            (1 until k).foldLeft(col("w")) { (acc, i) =>
-              concat(acc, lit(" "), lead(col("w"), i).over(win))
-            }
-          })
-          .filter(col("gram").isNotNull)
+        // NARROW since r17 (shared TextOps.positionedGrams, 1-based pos);
+        // the covered-position explode shifts back to tokensOf's 0-based
+        // positions (pos-1 .. pos-1+k-1), so the anti-join keys are
+        // unchanged.
+        val grams = graft.operators.TextOps
+          .positionedGrams(Tables.documents(s, dir), k)
         val benchGrams = grams.filter(col("doc_id") < 20)
           .select("gram").distinct()
         val covered = grams.filter(col("doc_id") >= 20)
           .join(broadcast(benchGrams), "gram")
           .select(col("doc_id"),
-            explode(sequence(col("pos"), col("pos") + k - 1)).as("pos"))
+            explode(sequence(col("pos") - 1, col("pos") + k - 2)).as("pos"))
           .distinct()
         val kept = tokensOf.filter(col("doc_id") >= 20)
           .join(covered, Seq("doc_id", "pos"), "left_anti")

@@ -106,11 +106,10 @@ object Round6bQueries {
     // vector outgrows an executor) every join falls back to the exact
     // shuffle plan this replaced — the 100 TB shape is unchanged.
     val nodeBytes = nodes.count() * 16L
-    val autoBar = graft.operators.Dedup.broadcastLimitBytes(s)
-    val bar = graft.operators.Dedup.parseBytesConf(
-      s.conf.get("graft.graph.broadcastMaxBytes", "256MB"))
+    val bar = graft.operators.Dedup.effectiveBroadcastBar(
+      s, "graft.graph.broadcastMaxBytes")
     def gated(d: org.apache.spark.sql.DataFrame) =
-      if (autoBar > 0 && nodeBytes <= bar) broadcast(d) else d
+      if (bar > 0 && nodeBytes <= bar) broadcast(d) else d
     var r = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to 3) {
       val contrib = edges
@@ -469,12 +468,11 @@ object Round6bQueries {
       .localCheckpoint()
     val s = und.sparkSession
     val degBytes = deg.count() * 16L
-    val autoBar = graft.operators.Dedup.broadcastLimitBytes(s)
-    val bar = graft.operators.Dedup.parseBytesConf(
-      s.conf.get("graft.triangles.broadcastMaxBytes", "256MB"))
+    val bar = graft.operators.Dedup.effectiveBroadcastBar(
+      s, "graft.triangles.broadcastMaxBytes")
     def degSide(k: String, d: String) = {
       val side = deg.select(col("x").as(k), col("d").as(d))
-      if (autoBar > 0 && degBytes <= bar) broadcast(side) else side
+      if (bar > 0 && degBytes <= bar) broadcast(side) else side
     }
     val uFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
@@ -555,11 +553,10 @@ object Round6bQueries {
     val fitsPacked = !st.isNullAt(1) && st.getLong(1) >= 0L &&
       st.getLong(3) >= 0L && st.getLong(2) < (1L << 32) &&
       st.getLong(4) < (1L << 32)
-    val autoBar = graft.operators.Dedup.broadcastLimitBytes(s)
-    val bar = graft.operators.Dedup.parseBytesConf(
-      s.conf.get("graft.triangles.broadcastMaxBytes", "256MB"))
+    val bar = graft.operators.Dedup.effectiveBroadcastBar(
+      s, "graft.triangles.broadcastMaxBytes")
     def gated(d: org.apache.spark.sql.DataFrame) =
-      if (autoBar > 0 && edgeBytes <= bar) broadcast(d) else d
+      if (bar > 0 && edgeBytes <= bar) broadcast(d) else d
     def pk(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
       shiftleft(u, 32).bitwiseOR(v)
     val wedges = e.as("e1")

@@ -18,17 +18,11 @@ object Round9Queries {
     * Same NULL-propagating concat so trailing partial grams drop.
     */
   private[queries] def positionedGrams(docs: org.apache.spark.sql.DataFrame,
-      k: Int): org.apache.spark.sql.DataFrame = {
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-    val parts = (0 until k).map {
-      case 0 => col("w")
-      case i => lead(col("w"), i).over(win)
-    }
-    val glued = parts.reduce((a, b) => concat(a, lit(" "), b))
-    TextOps.tokens(docs)
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), glued.as("gram"))
-      .filter(col("gram").isNotNull)
-  }
+      k: Int): org.apache.spark.sql.DataFrame =
+    // NARROW since r17: delegates to the shared zero-shuffle array
+    // construction (the lead()-over-window original exchanged + sorted
+    // the token stream per gram pass). Same rows, same 1-based pos.
+    TextOps.positionedGrams(docs, k)
 
   /** x165: cross-document exact-substring spans — for every doc, the
     * maximal token ranges whose every k-gram (k=8) also appears verbatim

@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
-/** Throwaway r16 instrumentation main. */
+/** Throwaway r16 instrumentation main (test sources since r17 so it
+  * stays runnable — `sbt "Test/runMain graft.ProfileScratch"` — without
+  * shipping in the library jar; ADVICE r16).
+  */
 object ProfileScratch {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
